@@ -1,0 +1,509 @@
+"""Finite Bayesian GMM with collapsed Gibbs sampling, TPU-native.
+
+Re-design of the reference ``FBGMM`` (``fbgmm.py``).  Differences in shape,
+not behaviour:
+
+* All state is a pytree of fixed-shape arrays (sufficient statistics +
+  assignment vector + PRNG key); every sampling operation is a pure, jitted
+  function of that state.
+* Component deletion/compaction (``gaussian_components*.del_component``)
+  becomes masking on ``counts > 0``; labels are stable and arrays static.
+* Two sweep modes:
+    - ``mode="sequential"``: a ``lax.scan`` over data items that reproduces the
+      reference's collapsed-Gibbs Markov chain *exactly* (same conditional at
+      every step, reference ``fbgmm.py:351-403``), entirely on device.
+    - ``mode="blocked"``: all items are scored against leave-one-out statistics
+      in one batched [N, K] kernel and resampled simultaneously, then the
+      statistics are rebuilt with a segment-sum.  This is the
+      throughput-oriented parallel-Gibbs approximation.
+* Categorical draws use Gumbel-max under threefry keys (``ops/random.py``)
+  instead of the Cython inverse-CDF ``draw``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+from ..ops import random as rnd
+from ..ops.stats import (
+    SuffStats,
+    add_item,
+    canonicalize_new_component,
+    del_item,
+    num_active,
+    suff_stats_from_assignments,
+)
+from . import cov_module
+
+
+# ---------------------------------------------------------------------------#
+#                      mixture-weight / marginal terms                        #
+# ---------------------------------------------------------------------------#
+
+def log_weights(counts: jnp.ndarray, alpha, K_max: int, lms=1.0,
+                include_denominator: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """[K] collapsed mixture-weight term lms * log(alpha/K + N_k) (- log(N + alpha)).
+
+    Reference: numerator-only inside the Gibbs loop (``fbgmm.py:371-375``,
+    the denominator is constant over k), both terms in ``log_marg_i``
+    (``fbgmm.py:268-272``).
+    """
+    c = counts.astype(dtype)
+    w = jnp.log(alpha / K_max + c)
+    if include_denominator:
+        w = w - jnp.log(jnp.sum(c) + alpha)
+    return lms * w
+
+
+def log_prob_z_dirichlet(counts: jnp.ndarray, alpha, K_max: int) -> jnp.ndarray:
+    """log P(z) under the symmetric Dirichlet prior, Murphy (24.24)
+    (reference ``FBGMM.log_prob_z``, ``fbgmm.py:208-225``).
+
+    Empty slots contribute gammaln(a/K) - gammaln(a/K) = 0, so summing over all
+    K_max slots matches the reference exactly.
+    """
+    c = counts.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    a = jnp.asarray(alpha, dtype=c.dtype)
+    return (
+        gammaln(a)
+        - gammaln(a + jnp.sum(c))
+        + jnp.sum(gammaln(c + a / K_max) - gammaln(a / K_max))
+    )
+
+
+def component_logits_batch(cov, prior, stats: SuffStats, params, X_batch,
+                           log_prior_vec, alpha, K_max: int, lms=1.0,
+                           include_denominator: bool = True) -> jnp.ndarray:
+    """[M, K] log P(z_i = k) + log p(x_i | k) for a batch of query vectors.
+
+    Active slots use the posterior predictive, empty slots the prior density
+    (reference ``fbgmm.py:377-379`` / ``log_marg_i`` ``fbgmm.py:281-284``).
+    """
+    w = log_weights(counts=stats.counts, alpha=alpha, K_max=K_max, lms=lms,
+                    include_denominator=include_denominator, dtype=X_batch.dtype)
+    post = cov.log_post_pred_batch(params, X_batch)  # [M, K]
+    active = (stats.counts > 0)[None, :]
+    return w[None, :] + jnp.where(active, post, log_prior_vec[:, None])
+
+
+# ---------------------------------------------------------------------------#
+#                                  FBGMM                                      #
+# ---------------------------------------------------------------------------#
+
+class FBGMM:
+    """Finite Bayesian Gaussian mixture model (reference ``fbgmm.py:27-498``).
+
+    Parameters mirror the reference: ``alpha`` is the symmetric-Dirichlet
+    concentration, ``K`` the maximum number of components, ``assignments`` an
+    int vector / "rand" / "each-in-own", ``covariance_type`` one of
+    "full" | "diag" | "fixed", ``lms`` the language-model scaling factor.
+    """
+
+    def __init__(self, X, prior, alpha, K, assignments="rand",
+                 covariance_type="full", lms=1.0, key: Optional[jax.Array] = None):
+        self.X = jnp.asarray(X)
+        self.N, self.D = self.X.shape
+        self.prior = prior
+        self.alpha = float(alpha)
+        self.K_max = int(K)
+        self.covariance_type = covariance_type
+        self.cov = cov_module(covariance_type)
+        self.lms = float(lms)
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+
+        self.setup_components(K, assignments, self.X)
+
+    # -- construction / reset (reference ``setup_components``, fbgmm.py:93-137)
+
+    def setup_components(self, K, assignments="rand", X=None):
+        if X is not None:
+            self.X = jnp.asarray(X)
+            self.N, self.D = self.X.shape
+        self.K_max = int(K)
+
+        if isinstance(assignments, str) and assignments == "rand":
+            assignments = np.random.randint(0, self.K_max, self.N)
+        elif isinstance(assignments, str) and assignments == "each-in-own":
+            assignments = np.arange(self.N)
+        else:
+            assignments = np.asarray(assignments, dtype=np.int64)
+        assignments = np.asarray(assignments, dtype=np.int64)
+        # Consecutive labels (reference fbgmm.py:123-128).  With masked slots
+        # this is cosmetic, but it keeps label layouts comparable.
+        assignments = _make_consecutive(assignments)
+        assert assignments.max(initial=-1) < self.K_max
+
+        self.assignments = jnp.asarray(assignments, dtype=jnp.int32)
+        self.stats = suff_stats_from_assignments(
+            self.X, self.assignments, self.K_max, full_cov=self.cov.FULL_COV
+        )
+        self.log_prior_vec = self.cov.log_prior_batch(self.prior, self.X)
+        self._jit_cache = {}
+
+    # -- scalar queries (reference API parity) ------------------------------
+
+    @property
+    def K(self) -> int:
+        """Number of active (non-empty) components."""
+        return int(num_active(self.stats))
+
+    def get_n_assigned(self) -> int:
+        """Reference ``get_n_assigned`` (fbgmm.py:496-498)."""
+        return int(jnp.sum(self.assignments >= 0))
+
+    def log_prob_z(self) -> float:
+        return float(log_prob_z_dirichlet(self.stats.counts, self.alpha, self.K_max))
+
+    def log_prob_X_given_z(self) -> float:
+        return float(self.cov.log_marg(self.prior, self.stats))
+
+    def log_marg(self) -> float:
+        """log p(X, z) (reference ``log_marg``, fbgmm.py:231-253)."""
+        return self.log_prob_z() + self.log_prob_X_given_z()
+
+    def log_marg_i(self, i: int) -> float:
+        """Collapsed marginal of one *held-out* vector (reference
+        ``log_marg_i``, fbgmm.py:256-286): assumes x_i is not in the model."""
+        params = self.cov.predictive_params(self.prior, self.stats)
+        logits = component_logits_batch(
+            self.cov, self.prior, self.stats, params, self.X[i : i + 1],
+            self.log_prior_vec[i : i + 1], self.alpha, self.K_max, self.lms,
+            include_denominator=True,
+        )
+        return float(rnd.logsumexp(logits[0]))
+
+    def log_marg_batch(self, embed_ids) -> jnp.ndarray:
+        """Vectorised ``log_marg_i`` over many held-out ids."""
+        params = self.cov.predictive_params(self.prior, self.stats)
+        ids = jnp.asarray(embed_ids)
+        logits = component_logits_batch(
+            self.cov, self.prior, self.stats, params, self.X[ids],
+            self.log_prior_vec[ids], self.alpha, self.K_max, self.lms,
+            include_denominator=True,
+        )
+        return rnd.logsumexp(logits, axis=-1)
+
+    # -- single-item sampling (reference gibbs_sample_inside_loop_i /
+    #    map_assign_i, fbgmm.py:422-494) ------------------------------------
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def gibbs_sample_inside_loop_i(self, i: int, anneal_temp: float = 1.0):
+        """Sample an assignment for (currently unassigned) item ``i`` and add it."""
+        params = self.cov.predictive_params(self.prior, self.stats)
+        logits = component_logits_batch(
+            self.cov, self.prior, self.stats, params, self.X[i : i + 1],
+            self.log_prior_vec[i : i + 1], self.alpha, self.K_max, self.lms,
+            include_denominator=False,
+        )[0]
+        k = rnd.annealed_gumbel_max(self._next_key(), logits, anneal_temp)
+        k = canonicalize_new_component(self.stats.counts, k)
+        self._add(i, k)
+
+    def map_assign_i(self, i: int):
+        """MAP assignment (reference ``map_assign_i``, fbgmm.py:465-494).
+        Note the reference omits the ``lms`` scaling here; so do we."""
+        params = self.cov.predictive_params(self.prior, self.stats)
+        logits = component_logits_batch(
+            self.cov, self.prior, self.stats, params, self.X[i : i + 1],
+            self.log_prior_vec[i : i + 1], self.alpha, self.K_max, lms=1.0,
+            include_denominator=False,
+        )[0]
+        k = jnp.argmax(logits)
+        k = canonicalize_new_component(self.stats.counts, k)
+        self._add(i, k)
+
+    def _add(self, i, k):
+        self.stats = add_item(self.stats, self.X[i], k, full_cov=self.cov.FULL_COV)
+        self.assignments = self.assignments.at[i].set(k.astype(jnp.int32))
+
+    def del_item(self, i: int):
+        """Remove item ``i`` from its component (components.del_item parity)."""
+        k = self.assignments[i]
+        assigned = k >= 0
+        self.stats = del_item(
+            self.stats, self.X[i], jnp.maximum(k, 0),
+            full_cov=self.cov.FULL_COV, weight=assigned.astype(jnp.int32),
+        )
+        self.assignments = self.assignments.at[i].set(-1)
+
+    # -- set_K (reference fbgmm.py:139-180) ---------------------------------
+
+    def set_K(self, K: int, reassign: bool = True):
+        """Keep the ``K`` largest components; optionally re-sample the rest."""
+        if self.K <= K:
+            self.K_max = K
+            # Re-pack stats into the new K_max.
+            self.stats = suff_stats_from_assignments(
+                self.X, self.assignments, self.K_max, full_cov=self.cov.FULL_COV
+            )
+            self._jit_cache = {}
+            return
+        counts = np.asarray(self.stats.counts)
+        old_assignments = np.asarray(self.assignments)
+        keep = list(np.argsort(counts)[-K:])
+        mapping = {int(old): new for new, old in enumerate(keep)}
+        new_assignments = np.array(
+            [mapping.get(int(a), -1) for a in old_assignments], dtype=np.int64
+        )
+        self.setup_components(K, new_assignments)
+        if reassign:
+            for i in np.where((old_assignments != -1) & (new_assignments == -1))[0]:
+                self.gibbs_sample_inside_loop_i(int(i))
+
+    # -- full sweeps ---------------------------------------------------------
+
+    def gibbs_sample(self, n_iter: int, consider_unassigned: bool = True,
+                     anneal_schedule=None, anneal_start_temp_inv: float = 0.1,
+                     anneal_end_temp_inv: float = 1.0, n_anneal_steps: int = -1,
+                     mode: str = "sequential") -> dict:
+        """Run ``n_iter`` collapsed-Gibbs sweeps; return the reference-format
+        record dict (reference ``gibbs_sample``, fbgmm.py:288-420)."""
+        from ..utils.annealing import anneal_temperatures
+
+        temps = anneal_temperatures(
+            n_iter, anneal_schedule, anneal_start_temp_inv,
+            anneal_end_temp_inv, n_anneal_steps,
+        )
+
+        record = {k: [] for k in
+                  ("sample_time", "log_marg", "log_prob_z",
+                   "log_prob_X_given_z", "anneal_temp", "components")}
+        sweep = self._get_sweep_fn(mode, consider_unassigned)
+
+        start = time.time()
+        for i_iter in range(n_iter):
+            temp = float(temps[i_iter])
+            self.stats, self.assignments, self.key = sweep(
+                self.stats, self.assignments, self.key, jnp.asarray(temp)
+            )
+            jax.block_until_ready(self.assignments)
+            record["sample_time"].append(time.time() - start)
+            start = time.time()
+            record["log_marg"].append(self.log_marg())
+            record["log_prob_z"].append(self.log_prob_z())
+            record["log_prob_X_given_z"].append(self.log_prob_X_given_z())
+            record["anneal_temp"].append(temp)
+            record["components"].append(self.K)
+        return record
+
+    def _get_sweep_fn(self, mode: str, consider_unassigned: bool):
+        cache_key = (mode, consider_unassigned, self.K_max)
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
+        if mode == "sequential":
+            fn = self._build_sequential_sweep(consider_unassigned)
+        elif mode == "blocked":
+            fn = self._build_blocked_sweep(consider_unassigned)
+        else:
+            raise ValueError("invalid mode: %r" % (mode,))
+        self._jit_cache[cache_key] = fn
+        return fn
+
+    def _build_sequential_sweep(self, consider_unassigned: bool):
+        cov, prior, X = self.cov, self.prior, self.X
+        alpha, K_max, lms = self.alpha, self.K_max, self.lms
+        log_prior_vec = self.log_prior_vec
+        full_cov = cov.FULL_COV
+
+        @jax.jit
+        def sweep(stats, assignments, key, anneal_temp):
+            key, sweep_key = jax.random.split(key)
+            item_keys = jax.random.split(sweep_key, X.shape[0])
+            params0 = cov.predictive_params(prior, stats)
+
+            def step(carry, inp):
+                stats, params, assignments = carry
+                i, k_i = inp
+                x = X[i]
+                k_old = assignments[i]
+                assigned = k_old >= 0
+                active = assigned if not consider_unassigned else jnp.bool_(True)
+
+                # Remove x_i from its component (reference fbgmm.py:367).
+                rm = (assigned & active).astype(jnp.int32)
+                k_old_safe = jnp.maximum(k_old, 0)
+                stats = del_item(stats, x, k_old_safe, full_cov=full_cov, weight=rm)
+                params = update_row_if(params, stats, k_old_safe)
+
+                # Score all K_max slots (reference fbgmm.py:371-379).
+                w = log_weights(stats.counts, alpha, K_max, lms,
+                                include_denominator=False, dtype=x.dtype)
+                post = cov.log_post_pred(params, x)
+                logits = w + jnp.where(stats.counts > 0, post, log_prior_vec[i])
+
+                k_new = rnd.annealed_gumbel_max(k_i, logits, anneal_temp)
+                k_new = canonicalize_new_component(stats.counts, k_new)
+                k_new = jnp.where(active, k_new, k_old_safe)
+
+                stats = add_item(stats, x, k_new, full_cov=full_cov,
+                                 weight=active.astype(jnp.int32))
+                params = update_row_if(params, stats, k_new)
+                assignments = assignments.at[i].set(
+                    jnp.where(active, k_new.astype(jnp.int32), k_old)
+                )
+                return (stats, params, assignments), None
+
+            def update_row_if(params, stats, k):
+                return cov.update_predictive_row(prior, stats, params, k)
+
+            idx = jnp.arange(X.shape[0])
+            (stats, _, assignments), _ = jax.lax.scan(
+                step, (stats, params0, assignments), (idx, item_keys)
+            )
+            return stats, assignments, key
+
+        return sweep
+
+    def _build_blocked_sweep(self, consider_unassigned: bool):
+        cov, prior, X = self.cov, self.prior, self.X
+        alpha, K_max, lms = self.alpha, self.K_max, self.lms
+        log_prior_vec = self.log_prior_vec
+        full_cov = cov.FULL_COV
+        N = X.shape[0]
+
+        @jax.jit
+        def sweep(stats, assignments, key, anneal_temp):
+            key, sub = jax.random.split(key)
+            params = cov.predictive_params(prior, stats)
+
+            # Global scores [N, K] against frozen stats.
+            w = log_weights(stats.counts, alpha, K_max, lms,
+                            include_denominator=False, dtype=X.dtype)
+            post = cov.log_post_pred_batch(params, X)
+            logits = w[None, :] + jnp.where(
+                (stats.counts > 0)[None, :], post, log_prior_vec[:, None]
+            )
+
+            # Leave-one-out correction: only column k_i of row i changes when
+            # x_i's own contribution is removed (reference removes the item
+            # before scoring, fbgmm.py:367).
+            k_i = assignments
+            assigned = k_i >= 0
+            k_safe = jnp.maximum(k_i, 0)
+            cnt_wo = stats.counts[k_safe] - assigned.astype(jnp.int32)
+
+            def _sq(x):
+                return x[:, None] * x[None, :] if full_cov else x * x
+
+            def corrected_score(i, k, cnt):
+                row = SuffStats(
+                    counts=cnt[None],
+                    sum_x=(stats.sum_x[k] - X[i])[None],
+                    sum_sq=(stats.sum_sq[k] - _sq(X[i]))[None],
+                )
+                p_row = cov.predictive_params(prior, row)
+                pred = cov.log_post_pred(p_row, X[i])[0]
+                pred = jnp.where(cnt > 0, pred, log_prior_vec[i])
+                w_k = lms * jnp.log(alpha / K_max + cnt.astype(X.dtype))
+                return w_k + pred
+
+            corr = jax.vmap(corrected_score)(jnp.arange(N), k_safe, cnt_wo)
+            logits = jnp.where(
+                assigned[:, None]
+                & (jnp.arange(K_max)[None, :] == k_safe[:, None]),
+                corr[:, None],
+                logits,
+            )
+
+            keys = jax.random.split(sub, N)
+            k_new = jax.vmap(
+                lambda kk, lg: rnd.annealed_gumbel_max(kk, lg, anneal_temp)
+            )(keys, logits)
+
+            # Map empty-slot draws to the first empty slot (w.r.t. frozen counts).
+            k_new = jax.vmap(
+                lambda k: canonicalize_new_component(stats.counts, k)
+            )(k_new)
+
+            keep_old = (~assigned) if not consider_unassigned else jnp.zeros(N, bool)
+            new_assignments = jnp.where(keep_old, k_i, k_new.astype(jnp.int32))
+            stats = suff_stats_from_assignments(X, new_assignments, K_max, full_cov)
+            return stats, new_assignments, key
+
+        return sweep
+
+    # -- reference-style view ------------------------------------------------
+
+    @property
+    def components(self):
+        """Duck-typed view mimicking ``fbgmm.components`` in the reference."""
+        return _ComponentsView(self)
+
+
+class _ComponentsView:
+    """Read-mostly adapter exposing the reference component-store surface."""
+
+    def __init__(self, owner: FBGMM):
+        self._o = owner
+
+    @property
+    def X(self):
+        return self._o.X
+
+    @property
+    def N(self):
+        return self._o.N
+
+    @property
+    def D(self):
+        return self._o.D
+
+    @property
+    def K(self):
+        return self._o.K
+
+    @property
+    def K_max(self):
+        return self._o.K_max
+
+    @property
+    def counts(self):
+        return self._o.stats.counts
+
+    @property
+    def assignments(self):
+        return self._o.assignments
+
+    def get_assignments(self, list_of_i):
+        ids = np.asarray(list_of_i)
+        return np.asarray(self._o.assignments)[ids]
+
+    def log_post_pred(self, i):
+        params = self._o.cov.predictive_params(self._o.prior, self._o.stats)
+        return self._o.cov.log_post_pred(params, self._o.X[i])
+
+    def log_post_pred_k(self, i, k):
+        return self.log_post_pred(i)[k]
+
+    def log_prior(self, i):
+        return self._o.log_prior_vec[i]
+
+    def log_marg_k(self, k):
+        return self._o.cov.log_marg_k_vec(self._o.prior, self._o.stats)[k]
+
+    def log_marg(self):
+        return self._o.cov.log_marg(self._o.prior, self._o.stats)
+
+    def add_item(self, i, k):
+        self._o._add(i, jnp.asarray(k))
+
+    def del_item(self, i):
+        self._o.del_item(i)
+
+
+def _make_consecutive(assignments: np.ndarray) -> np.ndarray:
+    """Relabel assignments to consecutive 0..K-1 (reference fbgmm.py:123-128)."""
+    assignments = np.asarray(assignments, dtype=np.int64).copy()
+    used = np.unique(assignments[assignments >= 0])
+    mapping = {int(old): new for new, old in enumerate(sorted(used))}
+    out = np.array([mapping.get(int(a), -1) for a in assignments], dtype=np.int64)
+    return out

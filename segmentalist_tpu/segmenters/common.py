@@ -1,0 +1,195 @@
+"""Shared machinery for the blocked-Gibbs segmentation sweeps.
+
+The reference processes utterances strictly one at a time
+(``unigram_acoustic_wordseg.py:449-455``): remove utterance i's embeddings
+from the acoustic model, score all its candidate segments, run the DP, then
+re-assign the new segments sequentially.  The TPU-native sweep processes
+utterances in *blocks* of size B:
+
+  1. leave-one-utterance-out sufficient statistics for every utterance in the
+     block (exact: global stats minus the utterance's own contribution);
+  2. one batched embeddings x components scoring kernel for all candidate
+     segments of all utterances in the block;
+  3. the batched DP (``ops/dp.py``) over the block;
+  4. per-utterance sequential assignment chains (vmapped scan) that update the
+     utterance's own statistics as segments are added -- matching the
+     reference's ``gibbs_sample_inside_loop_i`` conditioning;
+  5. merge: global stats += (new - old) utterance contributions.
+
+With B = 1 this is semantically the reference chain; with B > 1 utterances
+within a block condition on the same snapshot (blocked Gibbs), which is the
+documented distributional-parity tradeoff (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.random import NEG_INF
+from ..ops.stats import SuffStats, item_sq
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------#
+#                  segmentation queries (device, batched)                     #
+# ---------------------------------------------------------------------------#
+
+class Segments(NamedTuple):
+    """Compacted per-utterance segment lists (padded with -1 / 0).
+
+    ends [B, S]   landmark index at which each segment ends (-1 pad)
+    ws   [B, S]   segment length - 1
+    n    [B]      number of segments
+    """
+
+    ends: Array
+    ws: Array
+    n: Array
+
+
+def segments_from_boundaries(boundaries: Array, lengths: Array) -> Segments:
+    """Decode the boundary matrix into ordered segment (end, length) pairs.
+
+    Device equivalent of the reference ``get_segmented_landmark_indices``
+    (``utterances.py:206-216``), vmapped over the batch.
+    """
+    B, N_max = boundaries.shape
+
+    def one(brow, length):
+        def step(carry, t):
+            j_prev, s_idx, ends, ws = carry
+            is_b = brow[t] & (t < length)
+            ends = ends.at[s_idx].set(jnp.where(is_b, t, ends[s_idx]))
+            ws = ws.at[s_idx].set(jnp.where(is_b, t - j_prev, ws[s_idx]))
+            j_prev = jnp.where(is_b, t + 1, j_prev)
+            s_idx = s_idx + is_b.astype(jnp.int32)
+            return (j_prev, s_idx, ends, ws), None
+
+        init = (
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.full((N_max,), -1, jnp.int32),
+            jnp.zeros((N_max,), jnp.int32),
+        )
+        (j_prev, n, ends, ws), _ = jax.lax.scan(
+            step, init, jnp.arange(N_max, dtype=jnp.int32)
+        )
+        return ends, ws, n
+
+    ends, ws, n = jax.vmap(one)(boundaries, lengths)
+    return Segments(ends=ends, ws=ws, n=n)
+
+
+def gather_segment_embeds(segments: Segments, seg_ids: Array) -> Array:
+    """[B, S] embedding row ids of the segments; -1 for pads and for spans
+    longer than the stored window (the reference's 'pseudo-embeddings',
+    ``unigram_acoustic_wordseg.py:339-342``)."""
+    W = seg_ids.shape[-1]
+    ends = jnp.maximum(segments.ends, 0)
+    ws = jnp.minimum(segments.ws, W - 1)
+    ids = _gather2(seg_ids, ends, ws)
+    valid = (segments.ends >= 0) & (segments.ws < W)
+    return jnp.where(valid, ids, -1)
+
+
+def _gather2(seg_ids: Array, ends: Array, ws: Array) -> Array:
+    """seg_ids[b, ends[b, s], ws[b, s]] for every (b, s)."""
+    B = seg_ids.shape[0]
+    b_idx = jnp.arange(B)[:, None]
+    return seg_ids[b_idx, ends, ws]
+
+
+def gather_block_segments(boundaries_blk, lengths_blk, seg_ids_blk):
+    """Current segmentation of a block: (embed ids [B, S], segments)."""
+    segs = segments_from_boundaries(boundaries_blk, lengths_blk)
+    embeds = gather_segment_embeds(segs, seg_ids_blk)
+    return embeds, segs
+
+
+# ---------------------------------------------------------------------------#
+#                 per-utterance statistic contributions                       #
+# ---------------------------------------------------------------------------#
+
+def utterance_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
+                      full_cov: bool) -> SuffStats:
+    """Per-utterance sufficient-statistic contribution [B, K, ...].
+
+    ``embeds`` [B, S] (-1 pads) with component assignments ``ks`` [B, S]
+    (entries with embed == -1 or k == -1 contribute nothing).
+    """
+
+    def one(e_row, k_row):
+        valid = (e_row >= 0) & (k_row >= 0)
+        seg = jnp.where(valid, k_row, K_max)
+        x = X[jnp.maximum(e_row, 0)]
+        x = jnp.where(valid[:, None], x, 0.0)
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32), seg, num_segments=K_max + 1
+        )[:-1]
+        sum_x = jax.ops.segment_sum(x, seg, num_segments=K_max + 1)[:-1]
+        sq = item_sq(x, full_cov)
+        sum_sq = jax.ops.segment_sum(sq, seg, num_segments=K_max + 1)[:-1]
+        return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
+
+    return jax.vmap(one)(embeds, ks)
+
+
+def leave_out_stats(global_stats: SuffStats, contrib: SuffStats) -> SuffStats:
+    """Global statistics with each utterance's own contribution removed."""
+    return SuffStats(
+        counts=global_stats.counts[None] - contrib.counts,
+        sum_x=global_stats.sum_x[None] - contrib.sum_x,
+        sum_sq=global_stats.sum_sq[None] - contrib.sum_sq,
+    )
+
+
+def merge_contribs(global_stats: SuffStats, old: SuffStats, new: SuffStats,
+                   valid: Array) -> SuffStats:
+    """global += sum_b valid_b * (new_b - old_b)."""
+    v = valid.astype(global_stats.sum_x.dtype)
+    vi = valid.astype(jnp.int32)
+
+    def d(new_a, old_a, w):
+        delta = (new_a - old_a) * w.reshape((-1,) + (1,) * (new_a.ndim - 1))
+        return jnp.sum(delta, axis=0)
+
+    return SuffStats(
+        counts=global_stats.counts + d(new.counts, old.counts, vi),
+        sum_x=global_stats.sum_x + d(new.sum_x, old.sum_x, v),
+        sum_sq=global_stats.sum_sq + d(new.sum_sq, old.sum_sq, v),
+    )
+
+
+# ---------------------------------------------------------------------------#
+#                         candidate segment scoring                           #
+# ---------------------------------------------------------------------------#
+
+def masked_candidate_scores(log_margs: Array, seg_ids_blk: Array,
+                            seg_durs_blk: Array, time_power_term,
+                            wip) -> Array:
+    """Apply the reference's duration scaling and masking to raw candidate
+    log marginals (``get_vec_embed_log_probs``,
+    ``unigram_acoustic_wordseg.py:474-511``).
+
+    scores = log_marg * duration ** time_power_term + wip, with -inf for
+    missing embeddings and NaN (masked) durations.
+    """
+    durs = seg_durs_blk.astype(log_margs.dtype)
+    scale = jnp.where(jnp.isnan(durs), 0.0, durs) ** time_power_term
+    scores = log_margs * scale + wip
+    invalid = (seg_ids_blk < 0) | jnp.isnan(durs)
+    return jnp.where(invalid, NEG_INF, scores)
+
+
+def pad_utterance_order(order, batch_size: int):
+    """Pad a [U] permutation to a multiple of ``batch_size`` with -1."""
+    U = order.shape[0]
+    n_blocks = -(-U // batch_size)
+    pad = n_blocks * batch_size - U
+    order = jnp.concatenate([order, jnp.full((pad,), -1, order.dtype)])
+    return order.reshape(n_blocks, batch_size)

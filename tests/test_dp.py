@@ -1,0 +1,145 @@
+"""DP kernel checks against an independent numpy oracle.
+
+The oracle re-implements the documented recursion of the reference DP
+(forward filtering over prefix lengths with a [n_slices_min, n_slices_max]
+segment-length window; backward max-decoding) directly from the dense
+[N, W] score layout, so agreement checks both the math and the layout
+conversion.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import jax
+import jax.numpy as jnp
+
+from segmentalist_tpu.ops.dp import segment_dp
+
+NEG_INF = -np.inf
+
+
+def oracle_viterbi(scores, length, n_min, n_max):
+    """Max-product segmentation on dense scores[t, w]; returns (score, bounds)."""
+    n_min = max(n_min, 1)
+    alpha = np.full(length + 1, NEG_INF)
+    alpha[0] = 0.0
+    back = np.zeros(length + 1, dtype=int)
+    for t in range(1, length + 1):
+        best, best_k = NEG_INF, 0
+        for k in range(n_min, n_max + 1):
+            if k > t:
+                break
+            v = scores[t - 1, k - 1] + alpha[t - k]
+            # Tie-break toward shorter segments, like the reference argmax
+            # over the ascending-length window.
+            if v > best:
+                best, best_k = v, k
+        alpha[t] = best
+        back[t] = best_k
+    bounds = np.zeros(scores.shape[0], dtype=bool)
+    bounds[length - 1] = True
+    t = length
+    total = 0.0
+    while t > 0:
+        k = back[t]
+        total += scores[t - 1, k - 1]
+        if t - k - 1 >= 0:
+            bounds[t - k - 1] = True
+        t -= k
+    return total, bounds
+
+
+def _random_scores(rng, B, N_max, W, lengths):
+    scores = rng.randn(B, N_max, W) * 3.0
+    for b in range(B):
+        for t in range(N_max):
+            for w in range(W):
+                if w > t or t >= lengths[b]:
+                    scores[b, t, w] = NEG_INF
+    return scores
+
+
+def test_viterbi_matches_oracle():
+    rng = np.random.RandomState(0)
+    B, N_max, W = 5, 9, 4
+    lengths = np.array([9, 7, 4, 1, 6])
+    scores = _random_scores(rng, B, N_max, W, lengths)
+    log_probs, bounds = segment_dp(
+        jnp.asarray(scores), jnp.asarray(lengths), jax.random.PRNGKey(0),
+        n_slices_min=0, n_slices_max=W, mode="viterbi",
+    )
+    for b in range(B):
+        exp_score, exp_bounds = oracle_viterbi(scores[b], lengths[b], 0, W)
+        npt.assert_allclose(float(log_probs[b]), exp_score, rtol=1e-6)
+        npt.assert_array_equal(np.asarray(bounds[b]), exp_bounds)
+
+
+def test_viterbi_with_min_slices():
+    rng = np.random.RandomState(1)
+    B, N_max, W = 4, 8, 5
+    lengths = np.array([8, 8, 5, 3])
+    scores = _random_scores(rng, B, N_max, W, lengths)
+    log_probs, bounds = segment_dp(
+        jnp.asarray(scores), jnp.asarray(lengths), jax.random.PRNGKey(0),
+        n_slices_min=2, n_slices_max=W, mode="viterbi",
+    )
+    for b in range(B):
+        exp_score, exp_bounds = oracle_viterbi(scores[b], lengths[b], 2, W)
+        npt.assert_allclose(float(log_probs[b]), exp_score, rtol=1e-6)
+        npt.assert_array_equal(np.asarray(bounds[b]), exp_bounds)
+        # All resulting segments within [min, max] length, except possibly a
+        # leading remainder, as in the reference.
+        idx = np.where(np.asarray(bounds[b])[: lengths[b]])[0]
+        spans = np.diff(np.concatenate([[-1], idx]))
+        assert np.all(spans[1:] >= 2)
+
+
+def test_ffbs_boundary_distribution():
+    """FFBS must sample segmentations proportionally to their total score.
+
+    Two landmarks, W = 2: segmentations are {[0,1],[1,2]} (boundary at 0) and
+    {[0,2]} (no boundary at 0).  With hand-set scores the odds are computable
+    in closed form.
+    """
+    s01 = 1.0   # segment [0:1]
+    s12 = 0.3   # segment [1:2]
+    s02 = 1.5   # segment [0:2]
+    scores = np.full((1, 2, 2), NEG_INF)
+    scores[0, 0, 0] = s01
+    scores[0, 1, 0] = s12
+    scores[0, 1, 1] = s02
+    p_split = np.exp(s01 + s12) / (np.exp(s01 + s12) + np.exp(s02))
+
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    batch_scores = jnp.asarray(np.repeat(scores, n, axis=0))
+    lengths = jnp.full((n,), 2, dtype=jnp.int32)
+
+    log_probs, bounds = segment_dp(
+        batch_scores, lengths, jax.random.PRNGKey(7),
+        n_slices_min=0, n_slices_max=2, mode="sample",
+    )
+    frac_split = float(jnp.mean(bounds[:, 0].astype(jnp.float32)))
+    assert abs(frac_split - p_split) < 0.03, (frac_split, p_split)
+    # log_prob bookkeeping: equals the sum of chosen segment scores.
+    expected = np.where(np.asarray(bounds[:, 0]), s01 + s12, s02)
+    npt.assert_allclose(np.asarray(log_probs), expected, rtol=1e-6)
+
+
+def test_backtracking_fallback():
+    """When continuations are impossible, a boundary is force-inserted
+    (reference unigram_acoustic_wordseg.py:718-730)."""
+    # length 3; only segment [2:3] (t=3,len=1) and [0:1] are scorable, and
+    # nothing covers landmark 1 -> position t=2 is a dead end: backward must
+    # backtrack from t=2 and insert a boundary.
+    scores = np.full((1, 3, 2), NEG_INF)
+    scores[0, 2, 0] = 0.5   # segment [2:3]
+    scores[0, 0, 0] = 0.2   # segment [0:1]
+    log_probs, bounds = segment_dp(
+        jnp.asarray(scores), jnp.asarray([3]), jax.random.PRNGKey(0),
+        n_slices_min=0, n_slices_max=2, mode="sample",
+    )
+    b = np.asarray(bounds[0])
+    assert b[2]  # final boundary always set
+    # After consuming [2:3], t=2 has no valid continuation; fallback walks to
+    # t=1 (samplable via segment [0:1]) and inserts boundary at t-1 = 0.
+    assert b[1] or b[0]
