@@ -158,8 +158,10 @@ def merge_contribs(global_stats: SuffStats, old: SuffStats, new: SuffStats,
         delta = (new_a - old_a) * w.reshape((-1,) + (1,) * (new_a.ndim - 1))
         return jnp.sum(delta, axis=0)
 
+    # jnp.sum promotes int32 -> int64 under x64; pin the counts dtype.
     return SuffStats(
-        counts=global_stats.counts + d(new.counts, old.counts, vi),
+        counts=(global_stats.counts
+                + d(new.counts, old.counts, vi)).astype(global_stats.counts.dtype),
         sum_x=global_stats.sum_x + d(new.sum_x, old.sum_x, v),
         sum_sq=global_stats.sum_sq + d(new.sum_sq, old.sum_sq, v),
     )

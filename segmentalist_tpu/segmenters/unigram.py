@@ -1,0 +1,493 @@
+"""Unigram acoustic word segmentation (TPU-native).
+
+Re-design of the reference ``UnigramAcousticWordseg``
+(``unigram_acoustic_wordseg.py:27-564``): blocked Gibbs sampling alternating
+
+  (a) per-utterance boundary resampling by forward-filtering backward-sampling
+      over duration-scaled candidate log marginals, and
+  (b) sequential component-assignment resampling of the new segments,
+
+composed with an :class:`~segmentalist_tpu.models.fbgmm.FBGMM` acoustic model
+and an :class:`~segmentalist_tpu.corpus.Utterances` corpus state.
+
+TPU shape: utterances are processed in blocks of ``batch_size`` inside one
+jitted sweep (see ``segmenters/common.py``); candidate scoring for the whole
+block is a single embeddings x components kernel; the DP is the batched scan
+of ``ops/dp.py``.  ``batch_size=1`` reproduces the reference's utterance-at-
+a-time chain; larger blocks trade chain fidelity for throughput (documented
+blocked-Gibbs approximation, SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..corpus import Utterances, tri_index
+from ..models.fbgmm import FBGMM, log_weights
+from ..ops import dp as dp_ops
+from ..ops.random import NEG_INF, annealed_gumbel_max, logsumexp
+from ..ops.stats import SuffStats, add_item, canonicalize_new_component
+from .common import (
+    gather_block_segments,
+    leave_out_stats,
+    masked_candidate_scores,
+    merge_contribs,
+    pad_utterance_order,
+    utterance_contrib,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def process_embeddings(embedding_mats, vec_ids_dict):
+    """Flatten per-utterance embedding matrices into one [N, D] matrix and
+    re-index the per-utterance ``vec_ids`` to global row ids
+    (reference ``process_embeddings``, unigram_acoustic_wordseg.py:571-646).
+    """
+    embeddings = []
+    vec_ids = []
+    ids_to_utterance_labels = []
+    i_embed = 0
+    for utt in sorted(embedding_mats):
+        ids_to_utterance_labels.append(utt)
+        mat = np.asarray(embedding_mats[utt])
+        local = np.asarray(vec_ids_dict[utt])
+        remapped = np.where(local >= 0, local + i_embed, -1)
+        embeddings.append(mat)
+        vec_ids.append(remapped)
+        i_embed += mat.shape[0]
+    return np.concatenate(embeddings, axis=0), vec_ids, ids_to_utterance_labels
+
+
+class UnigramAcousticWordseg:
+    """Unigram word segmentation of speech using acoustic word embeddings.
+
+    Constructor parameters mirror the reference
+    (``unigram_acoustic_wordseg.py:118-125``); additions:
+
+    batch_size : int
+        Number of utterances resampled per blocked-Gibbs step (1 = reference
+        chain semantics; larger = faster).
+    seed : int
+        Seed for both the host-side init RNG and the device PRNG key.
+    """
+
+    def __init__(self, am_class, am_alpha, am_K, am_param_prior,
+                 embedding_mats, vec_ids_dict, durations_dict, landmarks_dict,
+                 seed_boundaries_dict=None, seed_assignments_dict=None,
+                 covariance_type="fixed", n_slices_min=0, n_slices_max=20,
+                 min_duration=0, p_boundary_init=0.5, beta_sent_boundary=2.0,
+                 lms=1.0, wip=0.0, fb_type="standard",
+                 init_am_assignments="rand", time_power_term=1.0,
+                 batch_size: Optional[int] = None, seed: int = 0):
+        logger.info("Initializing")
+        assert seed_assignments_dict is None or seed_boundaries_dict is not None
+
+        self.n_slices_min = int(n_slices_min)
+        self.n_slices_max = int(n_slices_max)
+        self.beta_sent_boundary = beta_sent_boundary
+        self.wip = float(wip)
+        self.time_power_term = float(time_power_term)
+        self.set_fb_type(fb_type)
+
+        embeddings, vec_ids, ids_to_utterance_labels = process_embeddings(
+            embedding_mats, vec_ids_dict
+        )
+        self.ids_to_utterance_labels = ids_to_utterance_labels
+        N = embeddings.shape[0]
+
+        if seed_boundaries_dict is not None:
+            seed_boundaries = [seed_boundaries_dict[i] for i in ids_to_utterance_labels]
+        else:
+            seed_boundaries = None
+        lengths = [len(landmarks_dict[i]) for i in ids_to_utterance_labels]
+        landmarks = [landmarks_dict[i] for i in ids_to_utterance_labels]
+        durations = [durations_dict[i] for i in ids_to_utterance_labels]
+        self.utterances = Utterances(
+            lengths, vec_ids, durations, landmarks,
+            seed_boundaries=seed_boundaries, p_boundary_init=p_boundary_init,
+            n_slices_min=n_slices_min, n_slices_max=n_slices_max,
+            min_duration=min_duration,
+        )
+
+        # Embeddings in the initial segmentation.
+        init_embeds = []
+        for i in range(self.utterances.D):
+            init_embeds.extend(self.utterances.get_segmented_embeds_i(i))
+        init_embeds = np.array(init_embeds, dtype=int)
+        init_embeds = init_embeds[init_embeds != -1]
+
+        key = jax.random.PRNGKey(seed)
+        assignments = -1 * np.ones(N, dtype=int)
+        if seed_assignments_dict is not None:
+            logger.info("Using seed assignments")
+            self.seed_to_cluster = {}
+            i_cluster = 0
+            for i_utt, utt in enumerate(ids_to_utterance_labels):
+                utt_init_embeds = np.array(
+                    self.utterances.get_segmented_embeds_i(i_utt), dtype=int
+                )
+                utt_init_assignments = np.array(seed_assignments_dict[utt][:])
+                utt_init_assignments = utt_init_assignments[utt_init_embeds != -1]
+                utt_init_embeds = utt_init_embeds[utt_init_embeds != -1]
+                for s in utt_init_assignments:
+                    if s not in self.seed_to_cluster:
+                        if isinstance(s, (int, np.integer)):
+                            self.seed_to_cluster[s] = int(s)
+                        else:
+                            self.seed_to_cluster[s] = i_cluster
+                            i_cluster += 1
+                assignments[utt_init_embeds] = [
+                    self.seed_to_cluster[s] for s in utt_init_assignments
+                ]
+            if am_K is None:
+                am_K = max(self.seed_to_cluster.values()) + 1
+            else:
+                assert am_K >= max(self.seed_to_cluster.values()) + 1
+            self.acoustic_model = FBGMM(
+                embeddings, am_param_prior, am_alpha, am_K, assignments,
+                covariance_type=covariance_type, lms=lms, key=key,
+            )
+        elif init_am_assignments == "rand":
+            logger.info("Using random initial component assignments")
+            assignments[init_embeds] = np.random.randint(0, am_K, len(init_embeds))
+            self.acoustic_model = FBGMM(
+                embeddings, am_param_prior, am_alpha, am_K, assignments,
+                covariance_type=covariance_type, lms=lms, key=key,
+            )
+        elif init_am_assignments == "one-by-one":
+            logger.info("Using a one-by-one initial assignment")
+            self.acoustic_model = FBGMM(
+                embeddings, am_param_prior, am_alpha, am_K, assignments,
+                covariance_type=covariance_type, lms=lms, key=key,
+            )
+            for i_embed in init_embeds:
+                self.acoustic_model.gibbs_sample_inside_loop_i(int(i_embed))
+        else:
+            raise ValueError(
+                "invalid value for `init_am_assignments`: " + init_am_assignments
+            )
+
+        self.batch_size = int(batch_size) if batch_size else min(
+            64, self.utterances.D
+        )
+        self._boundaries_dev = self.utterances.boundaries_device()
+        self._rng = np.random.RandomState(seed)
+        self._sweep_fn = None
+
+    # ------------------------------------------------------------------ API
+
+    def set_fb_type(self, fb_type: str):
+        self.fb_type = fb_type
+        if fb_type == "standard":
+            self._dp_mode = "sample"
+        elif fb_type == "viterbi":
+            self._dp_mode = "viterbi"
+        else:
+            raise ValueError("invalid `fb_type`: " + fb_type)
+        self._sweep_fn = None
+
+    def calc_p_continue(self) -> float:
+        """Sentence-continue probability under the symmetric Beta prior
+        (reference ``calc_p_continue``, unigram_acoustic_wordseg.py:513-531)."""
+        if self.beta_sent_boundary != -1:
+            n_tokens = int(jnp.sum(self.acoustic_model.stats.counts))
+            n_sentences = self.utterances.D - 1
+            n_continue = n_tokens - n_sentences
+            return (n_continue + self.beta_sent_boundary / 2.0) / (
+                n_tokens + self.beta_sent_boundary
+            )
+        return 1.0
+
+    def get_unsup_transcript_i(self, i: int):
+        """Component assignments of utterance i's current segments
+        (reference unigram_acoustic_wordseg.py:533-537)."""
+        self._sync_boundaries_to_host()
+        return list(
+            self.acoustic_model.components.get_assignments(
+                self.utterances.get_segmented_embeds_i(i)
+            )
+        )
+
+    def get_log_margs_i(self, i: int):
+        """Log marginals of utterance i's segments with the utterance held out
+        (reference ``get_log_margs_i``, unigram_acoustic_wordseg.py:539-564)."""
+        self._sync_boundaries_to_host()
+        embeds = [e for e in self.utterances.get_segmented_embeds_i(i) if e != -1]
+        am = self.acoustic_model
+        saved = (am.stats, am.assignments)
+        for e in embeds:
+            am.del_item(e)
+        out = [float(v) for v in am.log_marg_batch(np.array(embeds, dtype=int))]
+        am.stats, am.assignments = saved
+        return out
+
+    def get_vec_embed_log_probs(self, vec_ids, durations) -> np.ndarray:
+        """Duration-scaled candidate log marginals in the reference's packed
+        triangular layout (reference unigram_acoustic_wordseg.py:474-511).
+        Scores against the *current* model state (call after removal, as the
+        reference does inside ``gibbs_sample_i``)."""
+        vec_ids = np.asarray(vec_ids)
+        durations = np.asarray(durations, dtype=float)
+        out = np.full(len(vec_ids), -np.inf)
+        valid = vec_ids != -1
+        if valid.any():
+            margs = np.asarray(
+                self.acoustic_model.log_marg_batch(vec_ids[valid].astype(int))
+            )
+            out[valid] = margs
+        nan_dur = np.isnan(durations)
+        out[nan_dur & valid] = -np.inf
+        ok = valid & ~nan_dur
+        out[ok] = out[ok] * durations[ok] ** self.time_power_term
+        return out + self.wip
+
+    # ------------------------------------------------------------- sampling
+
+    def gibbs_sample_i(self, i: int, anneal_temp: float = 1.0,
+                       anneal_gibbs_am: bool = False) -> float:
+        """Block-Gibbs resample boundaries + assignments for one utterance
+        (reference ``gibbs_sample_i``, unigram_acoustic_wordseg.py:252-360)."""
+        order = np.full((self.batch_size,), -1, dtype=np.int64)
+        order[0] = i
+        return self._run_blocks(order.reshape(1, -1), anneal_temp, anneal_gibbs_am)
+
+    def gibbs_sample(self, n_iter: int, am_n_iter: int = 0,
+                     anneal_schedule=None, anneal_start_temp_inv: float = 0.1,
+                     anneal_end_temp_inv: float = 1.0, n_anneal_steps: int = -1,
+                     anneal_gibbs_am: bool = False) -> dict:
+        """Blocked Gibbs sampling over all utterances
+        (reference ``gibbs_sample``, unigram_acoustic_wordseg.py:362-472)."""
+        from ..utils.annealing import anneal_temperatures
+
+        logger.info("Gibbs sampling for " + str(n_iter) + " iterations")
+        temps = anneal_temperatures(
+            n_iter, anneal_schedule, anneal_start_temp_inv,
+            anneal_end_temp_inv, n_anneal_steps,
+        )
+        record = {k: [] for k in (
+            "sample_time", "log_marg", "log_marg*length", "log_prob_z",
+            "log_prob_X_given_z", "anneal_temp", "components", "n_tokens")}
+
+        for i_iter in range(n_iter):
+            start = time.time()
+            if am_n_iter > 0:
+                self.acoustic_model.gibbs_sample(
+                    am_n_iter, consider_unassigned=False
+                )
+            temp = float(temps[i_iter])
+            order = self._rng.permutation(self.utterances.D)
+            blocks = np.asarray(
+                pad_utterance_order(jnp.asarray(order), self.batch_size)
+            )
+            log_prob = self._run_blocks(blocks, temp, anneal_gibbs_am)
+            record["sample_time"].append(time.time() - start)
+            record["log_marg"].append(self.acoustic_model.log_marg())
+            record["log_marg*length"].append(log_prob)
+            record["log_prob_z"].append(self.acoustic_model.log_prob_z())
+            record["log_prob_X_given_z"].append(
+                self.acoustic_model.log_prob_X_given_z()
+            )
+            record["anneal_temp"].append(temp)
+            record["components"].append(self.acoustic_model.K)
+            record["n_tokens"].append(self.acoustic_model.get_n_assigned())
+            info = "iteration: " + str(i_iter)
+            for k in sorted(record):
+                info += ", " + k + ": " + str(record[k][-1])
+            logger.info(info)
+        return record
+
+    def segment(self, *args, **kwargs):  # pragma: no cover - convenience alias
+        return self.gibbs_sample(*args, **kwargs)
+
+    # ------------------------------------------------------------ internals
+
+    def _run_blocks(self, blocks: np.ndarray, anneal_temp: float,
+                    anneal_gibbs_am: bool) -> float:
+        am = self.acoustic_model
+        sweep = self._get_sweep_fn()
+        log_p_continue = math.log(self.calc_p_continue())
+        assign_temp = anneal_temp if anneal_gibbs_am else 1.0
+        (am.stats, am.assignments, self._boundaries_dev, am.key, log_prob) = sweep(
+            am.stats, am.assignments, self._boundaries_dev, am.key,
+            jnp.asarray(blocks), jnp.asarray(anneal_temp, dtype=am.X.dtype),
+            jnp.asarray(assign_temp, dtype=am.X.dtype),
+            jnp.asarray(log_p_continue, dtype=am.X.dtype),
+        )
+        return float(log_prob)
+
+    def _sync_boundaries_to_host(self):
+        self.utterances.set_boundaries_from_device(self._boundaries_dev)
+
+    def _get_sweep_fn(self):
+        if self._sweep_fn is None:
+            self._sweep_fn = self._build_sweep_fn()
+        return self._sweep_fn
+
+    def _build_sweep_fn(self):
+        am = self.acoustic_model
+        cov, prior = am.cov, am.prior
+        X = am.X
+        alpha, K_max, lms = am.alpha, am.K_max, am.lms
+        log_prior_vec = am.log_prior_vec
+        full_cov = cov.FULL_COV
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids  # [U, N_max, W_store]
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        N_max = utt.N_max
+        W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 else N_max
+        W_store = utt.W
+        n_min = self.n_slices_min
+        tpt = self.time_power_term
+        wip = self.wip
+        dp_mode = self._dp_mode
+        viterbi_assign = self.fb_type == "viterbi"
+        B = self.batch_size
+
+        def dp_slice(a):
+            if W_store >= W_dp:
+                return a[..., :W_dp]
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, W_dp - W_store)]
+            fill = -1 if a.dtype in (jnp.int32, jnp.int64) else jnp.nan
+            return jnp.pad(a, pad, constant_values=fill)
+
+        def assignment_chain(lo_b, params_b, embeds_b, key_b, temp):
+            """Sequential within-utterance assignment resampling (reference
+            gibbs_sample_inside_loop_i conditioning, fbgmm.py:422-463)."""
+
+            def step(carry, inp):
+                stats_b, p_b = carry
+                e, key_s = inp
+                ok = e >= 0
+                x = X[jnp.maximum(e, 0)]
+                if viterbi_assign:
+                    # map_assign_i omits the lms scaling (fbgmm.py:475-479).
+                    w = log_weights(stats_b.counts, alpha, K_max, 1.0,
+                                    include_denominator=False, dtype=x.dtype)
+                else:
+                    w = log_weights(stats_b.counts, alpha, K_max, lms,
+                                    include_denominator=False, dtype=x.dtype)
+                post = cov.log_post_pred(p_b, x)
+                logits = w + jnp.where(
+                    stats_b.counts > 0, post, log_prior_vec[jnp.maximum(e, 0)]
+                )
+                if viterbi_assign:
+                    k = jnp.argmax(logits)
+                else:
+                    k = annealed_gumbel_max(key_s, logits, temp)
+                k = canonicalize_new_component(stats_b.counts, k)
+                stats_b = add_item(stats_b, x, k, full_cov=full_cov,
+                                   weight=ok.astype(jnp.int32))
+                p_b = cov.update_predictive_row(prior, stats_b, p_b, k)
+                return (stats_b, p_b), jnp.where(ok, k.astype(jnp.int32), -1)
+
+            keys = jax.random.split(key_b, embeds_b.shape[0])
+            (_, _), ks = jax.lax.scan(step, (lo_b, params_b), (embeds_b, keys))
+            return ks
+
+        @jax.jit
+        def sweep(stats, assignments, boundaries, key, blocks, anneal_temp,
+                  assign_temp, log_p_continue):
+            def block_step(carry, idx_blk):
+                stats, assignments, boundaries, key, lp_total = carry
+                valid = idx_blk >= 0
+                idx = jnp.maximum(idx_blk, 0)
+                lengths_blk = jnp.where(valid, lengths_all[idx], 0)
+                seg_ids_blk = seg_ids_all[idx]      # [B, N_max, W_store]
+                seg_durs_blk = seg_durs_all[idx]
+                bounds_blk = boundaries[idx]
+
+                # 1. Current segments and leave-one-utterance-out stats
+                #    (reference removes the utterance's embeddings before
+                #    scoring, unigram_acoustic_wordseg.py:270-273).
+                old_embeds, _ = gather_block_segments(
+                    bounds_blk, lengths_blk, seg_ids_blk
+                )
+                old_ks = jnp.where(
+                    old_embeds >= 0,
+                    assignments[jnp.maximum(old_embeds, 0)],
+                    -1,
+                )
+                old_contrib = utterance_contrib(X, old_embeds, old_ks, K_max, full_cov)
+                lo = leave_out_stats(stats, old_contrib)
+
+                # 2. Candidate scoring: one batched embeddings x components
+                #    kernel for the whole block (HOT LOOP #1 of the reference,
+                #    unigram_acoustic_wordseg.py:474-511, fbgmm.py:256-286).
+                params_b = jax.vmap(lambda s: cov.predictive_params(prior, s))(lo)
+                cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
+                cand_durs = dp_slice(seg_durs_blk)
+                Xc = X[jnp.maximum(cand_ids, 0)]
+                post = jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
+                w_b = jax.vmap(
+                    lambda c: log_weights(c, alpha, K_max, lms,
+                                          include_denominator=True, dtype=X.dtype)
+                )(lo.counts)
+                prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+                logits = w_b[:, None, :] + jnp.where(
+                    (lo.counts > 0)[:, None, :], post, prior_c[..., None]
+                )
+                log_margs = logsumexp(logits, axis=-1).reshape(B, N_max, W_dp)
+                scores = masked_candidate_scores(
+                    log_margs, dp_slice(seg_ids_blk), cand_durs, tpt, wip
+                )
+
+                # 3. Boundary resampling DP (reference fb_func,
+                #    unigram_acoustic_wordseg.py:309-313).
+                key, k_dp, k_assign = jax.random.split(key, 3)
+                log_prob, new_bounds = dp_ops.segment_dp(
+                    scores, lengths_blk, k_dp, log_p_continue, anneal_temp,
+                    n_slices_min=n_min, n_slices_max=W_dp, mode=dp_mode,
+                )
+
+                # 4. Sequential assignment of the new segments
+                #    (unigram_acoustic_wordseg.py:339-349).
+                new_embeds, _ = gather_block_segments(
+                    new_bounds, lengths_blk, seg_ids_blk
+                )
+                chain_keys = jax.random.split(k_assign, B)
+                new_ks = jax.vmap(
+                    lambda lo_b, p_b, e_b, kk: assignment_chain(
+                        lo_b, p_b, e_b, kk, assign_temp
+                    )
+                )(lo, params_b, new_embeds, chain_keys)
+
+                # 5. Merge block updates into the global state.
+                new_contrib = utterance_contrib(X, new_embeds, new_ks, K_max, full_cov)
+                stats = merge_contribs(stats, old_contrib, new_contrib, valid)
+
+                # Scatter with an out-of-bounds sentinel + mode="drop" so
+                # masked entries never write (negative indices would wrap).
+                vmask = valid[:, None]
+                oob = assignments.shape[0]
+                old_flat = jnp.where(
+                    vmask & (old_embeds >= 0), old_embeds, oob
+                ).reshape(-1)
+                assignments = assignments.at[old_flat].set(-1, mode="drop")
+                new_flat = jnp.where(
+                    vmask & (new_embeds >= 0), new_embeds, oob
+                ).reshape(-1)
+                assignments = assignments.at[new_flat].set(
+                    new_ks.reshape(-1), mode="drop"
+                )
+                idx_w = jnp.where(valid, idx, boundaries.shape[0])
+                boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
+                lp_total = lp_total + jnp.sum(jnp.where(valid, log_prob, 0.0))
+                return (stats, assignments, boundaries, key, lp_total), None
+
+            init = (stats, assignments, boundaries, key,
+                    jnp.zeros((), dtype=X.dtype))
+            (stats, assignments, boundaries, key, lp_total), _ = jax.lax.scan(
+                block_step, init, blocks
+            )
+            return stats, assignments, boundaries, key, lp_total
+
+        return sweep
