@@ -1,0 +1,153 @@
+"""Smoothed, interpolated maximum-likelihood bigram language model.
+
+TPU-native re-design of the reference ``BigramSmoothLM`` (``bigram_lms.py``):
+the count tables live on device as a pytree
+
+    unigram_counts [K] int32
+    bigram_counts  [K, K] int32
+
+and all probability queries are pure vectorised functions; per-utterance count
+add/remove (reference ``bigram_lms.py:98-114``) become scatter-adds over the
+transcript's (prev, cur) pairs.
+
+Because the component slots are never relabelled in this framework (masking
+instead of compaction), the reference's LM <-> component-store count tying on
+deletion (``gaussian_components_fixedvar.py:204-221``) is unnecessary: LM rows
+stay aligned with component slots by construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BigramLMState(NamedTuple):
+    unigram_counts: jnp.ndarray  # [K] int32
+    bigram_counts: jnp.ndarray  # [K, K] int32
+
+
+def empty_lm_state(K: int) -> BigramLMState:
+    return BigramLMState(
+        unigram_counts=jnp.zeros((K,), jnp.int32),
+        bigram_counts=jnp.zeros((K, K), jnp.int32),
+    )
+
+
+def log_prob_vec_i(state: BigramLMState, a, K: int, dtype=jnp.float32):
+    """[K] log unigram probabilities (reference ``log_prob_vec_i``,
+    bigram_lms.py:64-69)."""
+    c = state.unigram_counts.astype(dtype)
+    return jnp.log(c + a / K) - jnp.log(jnp.sum(c) + a)
+
+
+def prob_vec_i(state: BigramLMState, a, K: int, dtype=jnp.float32):
+    c = state.unigram_counts.astype(dtype)
+    return (c + a / K) / (jnp.sum(c) + a)
+
+
+def prob_vec_given_j(state: BigramLMState, j, intrp_lambda, a, b, K: int,
+                     dtype=jnp.float32):
+    """[K] conditional bigram probabilities given previous component ``j``
+    (reference ``prob_vec_given_j``, bigram_lms.py:84-91)."""
+    uni = prob_vec_i(state, a, K, dtype)
+    row = state.bigram_counts[j].astype(dtype)
+    cj = state.unigram_counts[j].astype(dtype)
+    big = (row + b / K) / (cj + b)
+    return intrp_lambda * uni + (1.0 - intrp_lambda) * big
+
+
+def transcript_pairs(transcript: jnp.ndarray):
+    """(prev, cur) index pairs of a padded transcript ([S] int32, -1 pads;
+    -1 entries are skipped, carrying the previous context over them, exactly
+    like the reference's `continue` in the assignment loop
+    (bigram_acoustic_wordseg.py:483-486)."""
+
+    def step(j_prev, cur):
+        ok = cur >= 0
+        pair_j = jnp.where(ok, j_prev, -1)
+        j_next = jnp.where(ok, cur, j_prev)
+        return j_next, (pair_j, jnp.where(ok, cur, -1))
+
+    _, (pj, pi) = jax.lax.scan(step, jnp.int32(-1), transcript)
+    return pj, pi  # pair valid where pj >= 0 and pi >= 0
+
+
+def add_transcript_counts(state: BigramLMState, transcript: jnp.ndarray,
+                          sign: int = 1) -> BigramLMState:
+    """Add (sign=+1) / remove (sign=-1) one utterance's counts
+    (reference ``counts_from_utterance`` / ``remove_counts_from_utterance``,
+    bigram_lms.py:98-114)."""
+    K = state.unigram_counts.shape[0]
+    cur_valid = transcript >= 0
+    uni_idx = jnp.where(cur_valid, transcript, K)
+    uni = state.unigram_counts.at[uni_idx].add(
+        jnp.where(cur_valid, sign, 0).astype(jnp.int32), mode="drop"
+    )
+    pj, pi = transcript_pairs(transcript)
+    pair_valid = (pj >= 0) & (pi >= 0)
+    bj = jnp.where(pair_valid, pj, K)
+    bi = jnp.where(pair_valid, pi, K)
+    big = state.bigram_counts.at[bj, bi].add(
+        jnp.where(pair_valid, sign, 0).astype(jnp.int32), mode="drop"
+    )
+    return BigramLMState(unigram_counts=uni, bigram_counts=big)
+
+
+class BigramSmoothLM:
+    """Reference-parity class wrapper (``BigramSmoothLM``, bigram_lms.py:17-114)."""
+
+    def __init__(self, intrp_lambda, a, b, K):
+        self.intrp_lambda = float(intrp_lambda)
+        self.a = float(a)
+        self.b = float(b)
+        self.K = int(K)
+        self.state = empty_lm_state(self.K)
+
+    # numpy-visible count tables (reference exposes raw arrays)
+    @property
+    def unigram_counts(self):
+        return np.asarray(self.state.unigram_counts)
+
+    @property
+    def bigram_counts(self):
+        return np.asarray(self.state.bigram_counts)
+
+    def prob_i(self, i):
+        return float(prob_vec_i(self.state, self.a, self.K, jnp.float64)[i])
+
+    def prob_i_given_j(self, i, j):
+        return float(
+            prob_vec_given_j(self.state, j, self.intrp_lambda, self.a, self.b,
+                             self.K, jnp.float64)[i]
+        )
+
+    def log_prob_vec_i(self):
+        return np.asarray(log_prob_vec_i(self.state, self.a, self.K, jnp.float64))
+
+    def prob_vec_i(self):
+        return np.asarray(prob_vec_i(self.state, self.a, self.K, jnp.float64))
+
+    def log_prob_vec_given_j(self, j):
+        return np.log(self.prob_vec_given_j(j))
+
+    def prob_vec_given_j(self, j):
+        return np.asarray(
+            prob_vec_given_j(self.state, j, self.intrp_lambda, self.a, self.b,
+                             self.K, jnp.float64)
+        )
+
+    def counts_from_data(self, data):
+        for utterance in data:
+            self.counts_from_utterance(utterance)
+
+    def counts_from_utterance(self, utterance):
+        t = jnp.asarray(np.asarray(list(utterance), dtype=np.int32))
+        self.state = add_transcript_counts(self.state, t, sign=1)
+
+    def remove_counts_from_utterance(self, utterance):
+        t = jnp.asarray(np.asarray(list(utterance), dtype=np.int32))
+        self.state = add_transcript_counts(self.state, t, sign=-1)

@@ -1,0 +1,576 @@
+"""Bigram acoustic word segmentation (TPU-native).
+
+Re-design of the reference ``BigramAcousticWordseg``
+(``bigram_acoustic_wordseg.py:32-722``): boundary resampling uses *unigram*
+marginal scores and the unigram FFBS (the reference's native bigram DP is an
+unimplemented stub, ``bigram_acoustic_wordseg.py:694-695, :728-758``; the
+``fb_type="bigram"`` seam is kept but raises), while component assignments are
+resampled *sequentially along each utterance*, conditioning on the previous
+segment's sampled component through the smoothed bigram LM
+(``gibbs_sample_inside_loop_i_embed``, ``:332-384``).
+
+Blocked-sweep shape: as in ``segmenters/unigram.py``, with the LM handled by
+leave-one-utterance-out count tables (the reference removes the utterance's LM
+counts before sampling and re-adds them afterwards, ``:410, :496``).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..corpus import Utterances
+from ..models.bigram_fbgmm import BigramFBGMM
+from ..models.bigram_lm import (
+    BigramLMState,
+    BigramSmoothLM,
+    add_transcript_counts,
+    transcript_pairs,
+)
+from ..ops import dp as dp_ops
+from ..ops.random import NEG_INF, annealed_gumbel_max, logsumexp
+from ..ops.stats import add_item, canonicalize_new_component
+from .common import (
+    gather_block_segments,
+    leave_out_stats,
+    masked_candidate_scores,
+    merge_contribs,
+    pad_utterance_order,
+    segments_from_boundaries,
+    utterance_contrib,
+)
+from .unigram import process_embeddings
+
+logger = logging.getLogger(__name__)
+
+
+class BigramAcousticWordseg:
+    """Bigram word segmentation of speech using acoustic word embeddings
+    (constructor parity with ``bigram_acoustic_wordseg.py:129-256``)."""
+
+    def __init__(self, am_K, am_param_prior, lm_params, embedding_mats,
+                 vec_ids_dict, durations_dict, landmarks_dict,
+                 seed_boundaries_dict=None, seed_assignments_dict=None,
+                 covariance_type="fixed", n_slices_min=0, n_slices_max=20,
+                 min_duration=0, p_boundary_init=0.5, beta_sent_boundary=2.0,
+                 lms=1.0, wip=0.0, fb_type="bigram",
+                 init_am_assignments="rand", time_power_term=1.0,
+                 batch_size: Optional[int] = None, seed: int = 0):
+        logger.info("Initializing")
+        assert seed_assignments_dict is None or seed_boundaries_dict is not None
+
+        self.n_slices_min = int(n_slices_min)
+        self.n_slices_max = int(n_slices_max)
+        self.beta_sent_boundary = beta_sent_boundary
+        self.wip = float(wip)
+        self.lms = float(lms)
+        self.time_power_term = float(time_power_term)
+        self.set_fb_type(fb_type)
+
+        embeddings, vec_ids, ids_to_utterance_labels = process_embeddings(
+            embedding_mats, vec_ids_dict
+        )
+        self.ids_to_utterance_labels = ids_to_utterance_labels
+        N = embeddings.shape[0]
+
+        if seed_boundaries_dict is not None:
+            seed_boundaries = [seed_boundaries_dict[i] for i in ids_to_utterance_labels]
+        else:
+            seed_boundaries = None
+        lengths = [len(landmarks_dict[i]) for i in ids_to_utterance_labels]
+        landmarks = [landmarks_dict[i] for i in ids_to_utterance_labels]
+        durations = [durations_dict[i] for i in ids_to_utterance_labels]
+        self.utterances = Utterances(
+            lengths, vec_ids, durations, landmarks,
+            seed_boundaries=seed_boundaries, p_boundary_init=p_boundary_init,
+            n_slices_min=n_slices_min, n_slices_max=n_slices_max,
+            min_duration=min_duration,
+        )
+
+        # Language model (reference :179-184).
+        assert lm_params["type"] == "smooth"
+        self.lm = BigramSmoothLM(
+            intrp_lambda=lm_params["intrp_lambda"], a=lm_params["a"],
+            b=lm_params["b"], K=am_K,
+        )
+
+        init_embeds = []
+        for i in range(self.utterances.D):
+            init_embeds.extend(self.utterances.get_segmented_embeds_i(i))
+        init_embeds = np.array(init_embeds, dtype=int)
+        init_embeds = init_embeds[init_embeds != -1]
+
+        key = jax.random.PRNGKey(seed)
+        assignments = -1 * np.ones(N, dtype=int)
+        if seed_assignments_dict is not None:
+            logger.info("Using seed assignments")
+            self.seed_to_cluster = {}
+            i_cluster = 0
+            for i_utt, utt in enumerate(ids_to_utterance_labels):
+                utt_init_embeds = np.array(
+                    self.utterances.get_segmented_embeds_i(i_utt), dtype=int
+                )
+                utt_init_assignments = np.array(seed_assignments_dict[utt][:])
+                utt_init_assignments = utt_init_assignments[utt_init_embeds != -1]
+                utt_init_embeds = utt_init_embeds[utt_init_embeds != -1]
+                for s in utt_init_assignments:
+                    if s not in self.seed_to_cluster:
+                        if isinstance(s, (int, np.integer)):
+                            self.seed_to_cluster[s] = int(s)
+                        else:
+                            self.seed_to_cluster[s] = i_cluster
+                            i_cluster += 1
+                assignments[utt_init_embeds] = [
+                    self.seed_to_cluster[s] for s in utt_init_assignments
+                ]
+            if am_K is None:
+                am_K = max(self.seed_to_cluster.values()) + 1
+            else:
+                assert am_K >= max(self.seed_to_cluster.values()) + 1
+        elif init_am_assignments == "rand":
+            logger.info("Using random initial component assignments")
+            assignments[init_embeds] = np.random.randint(0, am_K, len(init_embeds))
+        else:
+            raise ValueError(
+                "invalid value for `init_am_assignments`: " + init_am_assignments
+            )
+
+        self.acoustic_model = BigramFBGMM(
+            embeddings, am_param_prior, am_K, assignments,
+            covariance_type=covariance_type, lms=lms, lm=self.lm, key=key,
+        )
+
+        self.batch_size = int(batch_size) if batch_size else min(
+            64, self.utterances.D
+        )
+        self._boundaries_dev = self.utterances.boundaries_device()
+        self._rng = np.random.RandomState(seed)
+        self._sweep_fn = None
+        self._log_prob_z_fn = None
+
+        # Initial language model counts (reference ``set_lm_counts``, :271-285).
+        self.set_lm_counts()
+
+    # ------------------------------------------------------------------ API
+
+    def set_fb_type(self, fb_type: str):
+        # The reference's native bigram forward-backward is a stub
+        # (bigram_acoustic_wordseg.py:728-758); only the unigram DP works.
+        # Accept both values for parity; "bigram" fails at sampling time.
+        if fb_type not in ("bigram", "unigram"):
+            raise ValueError("invalid `fb_type`: " + fb_type)
+        self.fb_type = fb_type
+        self._sweep_fn = None
+
+    def set_lm_counts(self):
+        self.lm.state = self._all_transcript_counts()
+
+    def _all_transcript_counts(self) -> BigramLMState:
+        transcripts = self._all_transcripts()
+        state = BigramLMState(
+            unigram_counts=jnp.zeros((self.lm.K,), jnp.int32),
+            bigram_counts=jnp.zeros((self.lm.K, self.lm.K), jnp.int32),
+        )
+
+        def body(state, t):
+            return add_transcript_counts(state, t, sign=1), None
+
+        state, _ = jax.lax.scan(body, state, transcripts)
+        return state
+
+    def _all_transcripts(self) -> jnp.ndarray:
+        """[U, S] padded component transcripts for every utterance."""
+        am = self.acoustic_model
+        segs = segments_from_boundaries(
+            self._boundaries_dev, self.utterances.lengths_dev
+        )
+        from .common import gather_segment_embeds
+
+        embeds = gather_segment_embeds(segs, self.utterances.seg_ids)
+        ks = jnp.where(embeds >= 0, am.assignments[jnp.maximum(embeds, 0)], -1)
+        return ks
+
+    def get_unsup_transcript_i(self, i: int):
+        self._sync_boundaries_to_host()
+        return list(
+            self.acoustic_model.components.get_assignments(
+                self.utterances.get_segmented_embeds_i(i)
+            )
+        )
+
+    def calc_p_continue(self) -> float:
+        """(reference ``calc_p_continue``, bigram_acoustic_wordseg.py:697-715)."""
+        if self.beta_sent_boundary != -1:
+            n_tokens = int(jnp.sum(self.acoustic_model.stats.counts))
+            n_sentences = self.utterances.D - 1
+            n_continue = n_tokens - n_sentences
+            return (n_continue + self.beta_sent_boundary / 2.0) / (
+                n_tokens + self.beta_sent_boundary
+            )
+        return 1.0
+
+    def log_prob_z(self) -> float:
+        """Sequential-replay bigram assignment probability
+        (reference ``log_prob_z``, bigram_acoustic_wordseg.py:287-305)."""
+        if self._log_prob_z_fn is None:
+            self._log_prob_z_fn = self._build_log_prob_z_fn()
+        return float(self._log_prob_z_fn(self._all_transcripts()))
+
+    def log_marg(self) -> float:
+        return self.log_prob_z() + self.acoustic_model.log_prob_X_given_z()
+
+    def log_marg_i_embed_unigram(self, i_embed: int) -> float:
+        """Unigram marginal of one held-out embedding under LM weights
+        (reference ``log_marg_i_embed_unigram``, :314-329)."""
+        am = self.acoustic_model
+        cov = am.cov
+        params = cov.predictive_params(am.prior, am.stats)
+        from ..models.bigram_lm import log_prob_vec_i
+
+        w = self.lms * log_prob_vec_i(self.lm.state, self.lm.a, self.lm.K,
+                                      am.X.dtype)
+        post = cov.log_post_pred(params, am.X[i_embed])
+        logits = w + jnp.where(am.stats.counts > 0, post,
+                               am.log_prior_vec[i_embed])
+        return float(logsumexp(logits))
+
+    # ------------------------------------------------------------- sampling
+
+    def gibbs_sample_i(self, i: int, anneal_temp: float = 1.0,
+                       anneal_gibbs_am: bool = False,
+                       assignments_only: bool = False) -> float:
+        order = np.full((self.batch_size,), -1, dtype=np.int64)
+        order[0] = i
+        return self._run_blocks(order.reshape(1, -1), anneal_temp,
+                                anneal_gibbs_am, assignments_only)
+
+    def gibbs_sample(self, n_iter: int, am_n_iter: int = 0,
+                     anneal_schedule=None, anneal_start_temp_inv: float = 0.1,
+                     anneal_end_temp_inv: float = 1.0, n_anneal_steps: int = -1,
+                     anneal_gibbs_am: bool = False,
+                     assignments_only: bool = False) -> dict:
+        """(reference ``gibbs_sample``, bigram_acoustic_wordseg.py:553-670)."""
+        from ..utils.annealing import anneal_temperatures
+
+        if am_n_iter > 0:
+            raise NotImplementedError(
+                "am_n_iter > 0: the reference asserts to-do here "
+                "(bigram_acoustic_wordseg.py:634-638)"
+            )
+        if self.fb_type == "bigram" and not assignments_only:
+            raise NotImplementedError(
+                "fb_type='bigram' segmentation: the reference's bigram DP is "
+                "an unimplemented stub (bigram_acoustic_wordseg.py:694-695, "
+                ":728-758); use fb_type='unigram' as its recipes do."
+            )
+
+        logger.info("Gibbs sampling for " + str(n_iter) + " iterations")
+        temps = anneal_temperatures(
+            n_iter, anneal_schedule, anneal_start_temp_inv,
+            anneal_end_temp_inv, n_anneal_steps,
+        )
+        record = {k: [] for k in (
+            "sample_time", "log_marg", "log_marg*length", "log_prob_z",
+            "log_prob_X_given_z", "anneal_temp", "components", "n_tokens")}
+        for i_iter in range(n_iter):
+            start = time.time()
+            temp = float(temps[i_iter])
+            order = self._rng.permutation(self.utterances.D)
+            blocks = np.asarray(
+                pad_utterance_order(jnp.asarray(order), self.batch_size)
+            )
+            log_prob = self._run_blocks(blocks, temp, anneal_gibbs_am,
+                                        assignments_only)
+            record["sample_time"].append(time.time() - start)
+            record["log_marg"].append(self.log_marg())
+            record["log_marg*length"].append(log_prob)
+            record["log_prob_z"].append(self.log_prob_z())
+            record["log_prob_X_given_z"].append(
+                self.acoustic_model.log_prob_X_given_z()
+            )
+            record["anneal_temp"].append(temp)
+            record["components"].append(self.acoustic_model.K)
+            record["n_tokens"].append(self.acoustic_model.get_n_assigned())
+            info = "iteration: " + str(i_iter)
+            for k in sorted(record):
+                info += ", " + k + ": " + str(record[k][-1])
+            logger.info(info)
+        return record
+
+    # ------------------------------------------------------------ internals
+
+    def _sync_boundaries_to_host(self):
+        self.utterances.set_boundaries_from_device(self._boundaries_dev)
+
+    def _run_blocks(self, blocks, anneal_temp, anneal_gibbs_am,
+                    assignments_only) -> float:
+        am = self.acoustic_model
+        sweep = self._get_sweep_fn(bool(assignments_only))
+        log_p_continue = math.log(self.calc_p_continue())
+        assign_temp = anneal_temp if anneal_gibbs_am else 1.0
+        (am.stats, am.assignments, self._boundaries_dev, self.lm.state,
+         am.key, log_prob) = sweep(
+            am.stats, am.assignments, self._boundaries_dev, self.lm.state,
+            am.key, jnp.asarray(blocks),
+            jnp.asarray(anneal_temp, dtype=am.X.dtype),
+            jnp.asarray(assign_temp, dtype=am.X.dtype),
+            jnp.asarray(log_p_continue, dtype=am.X.dtype),
+        )
+        return float(log_prob)
+
+    def _get_sweep_fn(self, assignments_only: bool):
+        if self._sweep_fn is None:
+            self._sweep_fn = {}
+        if assignments_only not in self._sweep_fn:
+            self._sweep_fn[assignments_only] = self._build_sweep_fn(assignments_only)
+        return self._sweep_fn[assignments_only]
+
+    def _build_log_prob_z_fn(self):
+        lam, a, b, K = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
+        dtype = self.acoustic_model.X.dtype
+
+        @jax.jit
+        def log_prob_z(transcripts):
+            pj, pi = jax.vmap(transcript_pairs)(transcripts)
+            flat_j = pj.reshape(-1)
+            flat_i = pi.reshape(-1)
+
+            def step(carry, inp):
+                uni, big, n, total = carry
+                j, i = inp
+                ok = i >= 0
+                has_prev = j >= 0
+                i_s = jnp.maximum(i, 0)
+                j_s = jnp.maximum(j, 0)
+                p_uni = (uni[i_s].astype(dtype) + a / K) / (n.astype(dtype) + a)
+                p_big = (big[j_s, i_s].astype(dtype) + b / K) / (
+                    uni[j_s].astype(dtype) + b
+                )
+                p_cond = lam * p_uni + (1.0 - lam) * p_big
+                p = jnp.where(has_prev, p_cond, p_uni)
+                total = total + jnp.where(ok, jnp.log(p), 0.0)
+                big = big.at[j_s, i_s].add(
+                    (ok & has_prev).astype(jnp.int32)
+                )
+                uni = uni.at[i_s].add(ok.astype(jnp.int32))
+                n = n + ok.astype(jnp.int32)
+                return (uni, big, n, total), None
+
+            init = (
+                jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K, K), jnp.int32),
+                jnp.int32(0),
+                jnp.zeros((), dtype),
+            )
+            (_, _, _, total), _ = jax.lax.scan(step, init, (flat_j, flat_i))
+            return total
+
+        return log_prob_z
+
+    def _build_sweep_fn(self, assignments_only: bool):
+        am = self.acoustic_model
+        cov, prior = am.cov, am.prior
+        X = am.X
+        K_max, lms = am.K_max, am.lms
+        log_prior_vec = am.log_prior_vec
+        full_cov = cov.FULL_COV
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        N_max = utt.N_max
+        W_store = utt.W
+        W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 else N_max
+        n_min = self.n_slices_min
+        tpt = self.time_power_term
+        wip = self.wip
+        B = self.batch_size
+        lam, a, b, K_lm = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
+        assert K_lm == K_max
+
+        def dp_slice(arr):
+            if W_store >= W_dp:
+                return arr[..., :W_dp]
+            pad = [(0, 0)] * (arr.ndim - 1) + [(0, W_dp - W_store)]
+            fill = -1 if jnp.issubdtype(arr.dtype, jnp.integer) else jnp.nan
+            return jnp.pad(arr, pad, constant_values=fill)
+
+        def lm_unigram_logw(uni_lo_b):
+            c = uni_lo_b.astype(X.dtype)
+            return lms * (jnp.log(c + a / K_max) - jnp.log(jnp.sum(c) + a))
+
+        def assignment_chain(lo_b, params_b, uni_lo_b, big_table, big_corr_j,
+                             big_corr_i, embeds_b, key_b, temp):
+            """Sequential bigram-conditioned assignment resampling (reference
+            gibbs_sample_inside_loop_i_embed, bigram_acoustic_wordseg.py:332-384).
+
+            ``big_corr_{j,i}``: the utterance's own OLD bigram pairs, removed
+            from the global table rows on the fly (the LM counts are only
+            re-added after the whole utterance, reference :410, :496).
+            """
+            uni_w = lm_unigram_logw(uni_lo_b)  # frozen during the chain
+            uni_prob = (uni_lo_b.astype(X.dtype) + a / K_max) / (
+                jnp.sum(uni_lo_b.astype(X.dtype)) + a
+            )
+
+            def step(carry, inp):
+                stats_b, p_b, j_prev = carry
+                e, key_s = inp
+                ok = e >= 0
+                x = X[jnp.maximum(e, 0)]
+                # Bigram row with own-count corrections.
+                j_s = jnp.maximum(j_prev, 0)
+                row = big_table[j_s].astype(X.dtype)
+                corr = jnp.sum(
+                    jnp.where(
+                        (big_corr_j == j_s)[:, None]
+                        & (big_corr_i >= 0)[:, None]
+                        & (jnp.arange(K_max)[None, :]
+                           == jnp.maximum(big_corr_i, 0)[:, None]),
+                        1.0, 0.0,
+                    ).astype(X.dtype),
+                    axis=0,
+                )
+                row = row - corr
+                uni_j = uni_lo_b[j_s].astype(X.dtype)
+                p_cond = lam * uni_prob + (1.0 - lam) * (row + b / K_max) / (
+                    uni_j + b
+                )
+                w_big = lms * jnp.log(p_cond)
+                w = jnp.where(j_prev >= 0, w_big, uni_w)
+                post = cov.log_post_pred(p_b, x)
+                logits = w + jnp.where(
+                    stats_b.counts > 0, post, log_prior_vec[jnp.maximum(e, 0)]
+                )
+                k = annealed_gumbel_max(key_s, logits, temp)
+                k = canonicalize_new_component(stats_b.counts, k)
+                stats_b = add_item(stats_b, x, k, full_cov=full_cov,
+                                   weight=ok.astype(jnp.int32))
+                p_b = cov.update_predictive_row(prior, stats_b, p_b, k)
+                j_next = jnp.where(ok, k.astype(jnp.int32), j_prev)
+                return (stats_b, p_b, j_next), jnp.where(
+                    ok, k.astype(jnp.int32), -1
+                )
+
+            keys = jax.random.split(key_b, embeds_b.shape[0])
+            (_, _, _), ks = jax.lax.scan(
+                step, (lo_b, params_b, jnp.int32(-1)), (embeds_b, keys)
+            )
+            return ks
+
+        @jax.jit
+        def sweep(stats, assignments, boundaries, lm_state, key, blocks,
+                  anneal_temp, assign_temp, log_p_continue):
+            def block_step(carry, idx_blk):
+                stats, assignments, boundaries, lm_state, key, lp_total = carry
+                valid = idx_blk >= 0
+                idx = jnp.maximum(idx_blk, 0)
+                lengths_blk = jnp.where(valid, lengths_all[idx], 0)
+                seg_ids_blk = seg_ids_all[idx]
+                seg_durs_blk = seg_durs_all[idx]
+                bounds_blk = boundaries[idx]
+
+                # Old segments, transcripts and LM/AM leave-outs.
+                old_embeds, _ = gather_block_segments(
+                    bounds_blk, lengths_blk, seg_ids_blk
+                )
+                old_ks = jnp.where(
+                    old_embeds >= 0, assignments[jnp.maximum(old_embeds, 0)], -1
+                )
+                old_contrib = utterance_contrib(X, old_embeds, old_ks, K_max,
+                                                full_cov)
+                lo = leave_out_stats(stats, old_contrib)
+                uni_lo = lm_state.unigram_counts[None] - old_contrib.counts
+                pj, pi = jax.vmap(transcript_pairs)(old_ks)
+
+                # Boundary resampling with unigram-marginal scores
+                # (get_vec_embed_log_probs_unigram, :673-692).
+                params_b = jax.vmap(lambda s: cov.predictive_params(prior, s))(lo)
+                key, k_dp, k_assign = jax.random.split(key, 3)
+                if not assignments_only:
+                    cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
+                    Xc = X[jnp.maximum(cand_ids, 0)]
+                    post = jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
+                    w_b = jax.vmap(lm_unigram_logw)(uni_lo)
+                    prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+                    logits = w_b[:, None, :] + jnp.where(
+                        (lo.counts > 0)[:, None, :], post, prior_c[..., None]
+                    )
+                    log_margs = logsumexp(logits, axis=-1).reshape(
+                        B, N_max, W_dp
+                    )
+                    scores = masked_candidate_scores(
+                        log_margs, dp_slice(seg_ids_blk),
+                        dp_slice(seg_durs_blk), tpt, wip,
+                    )
+                    log_prob, new_bounds = dp_ops.segment_dp(
+                        scores, lengths_blk, k_dp, log_p_continue, anneal_temp,
+                        n_slices_min=n_min, n_slices_max=W_dp, mode="sample",
+                    )
+                    new_embeds, _ = gather_block_segments(
+                        new_bounds, lengths_blk, seg_ids_blk
+                    )
+                else:
+                    log_prob = jnp.zeros((B,), X.dtype)
+                    new_bounds = bounds_blk
+                    new_embeds = old_embeds
+
+                # Sequential bigram-conditioned assignment chains.
+                chain_keys = jax.random.split(k_assign, B)
+                big_table = lm_state.bigram_counts
+                new_ks = jax.vmap(
+                    lambda lo_b, p_b, u_b, cj, ci, e_b, kk: assignment_chain(
+                        lo_b, p_b, u_b, big_table, cj, ci, e_b, kk, assign_temp
+                    )
+                )(lo, params_b, uni_lo, pj, pi, new_embeds, chain_keys)
+
+                # Merge acoustic stats / assignments / boundaries.
+                new_contrib = utterance_contrib(X, new_embeds, new_ks, K_max,
+                                                full_cov)
+                stats = merge_contribs(stats, old_contrib, new_contrib, valid)
+                vmask = valid[:, None]
+                oob = assignments.shape[0]
+                old_flat = jnp.where(
+                    vmask & (old_embeds >= 0), old_embeds, oob
+                ).reshape(-1)
+                assignments = assignments.at[old_flat].set(-1, mode="drop")
+                new_flat = jnp.where(
+                    vmask & (new_embeds >= 0), new_embeds, oob
+                ).reshape(-1)
+                assignments = assignments.at[new_flat].set(
+                    new_ks.reshape(-1), mode="drop"
+                )
+                idx_w = jnp.where(valid, idx, boundaries.shape[0])
+                boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
+
+                # Merge LM counts: remove old transcripts, add new ones.
+                def lm_update(state_lm, ks, sign):
+                    def body(s, t_and_v):
+                        t, v = t_and_v
+                        t_eff = jnp.where(v, t, -jnp.ones_like(t))
+                        return add_transcript_counts(s, t_eff, sign=sign), None
+
+                    s, _ = jax.lax.scan(body, state_lm, (ks, valid))
+                    return s
+
+                lm_state = lm_update(lm_state, old_ks, -1)
+                lm_state = lm_update(lm_state, new_ks, 1)
+
+                lp_total = lp_total + jnp.sum(jnp.where(valid, log_prob, 0.0))
+                return (stats, assignments, boundaries, lm_state, key,
+                        lp_total), None
+
+            init = (stats, assignments, boundaries, lm_state, key,
+                    jnp.zeros((), X.dtype))
+            (stats, assignments, boundaries, lm_state, key, lp_total), _ = (
+                jax.lax.scan(block_step, init, blocks)
+            )
+            return stats, assignments, boundaries, lm_state, key, lp_total
+
+        return sweep

@@ -1,0 +1,302 @@
+"""Segmental k-means word segmentation (TPU-native).
+
+Re-design of the reference ``SegmentalKMeansWordseg``
+(``kmeans_acoustic_wordseg.py:27-443``): per-utterance Viterbi segmentation on
+duration-scaled best-component distances, followed by argmax re-assignment.
+
+Differences from the unigram sweep: candidate scoring uses the *global*
+component means (the reference does not remove the utterance before scoring,
+``kmeans_acoustic_wordseg.py:252-267``); the DP is max-product with no
+``p_continue``; assignments are frozen-means argmaxes
+(``get_max_unsup_transcript_i``, ``:436-442``), so no sequential chain is
+needed inside an utterance.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..corpus import Utterances
+from ..models.kmeans import (
+    KMeans,
+    kmeans_state_from_assignments,
+    means_from_state,
+    neg_sqrd_norms,
+)
+from ..ops import dp as dp_ops
+from ..ops.random import NEG_INF
+from .common import gather_block_segments, pad_utterance_order
+from .unigram import process_embeddings
+
+logger = logging.getLogger(__name__)
+
+
+class SegmentalKMeansWordseg:
+    """Segmental k-means word segmentation using acoustic word embeddings
+    (constructor parity with ``kmeans_acoustic_wordseg.py:101-223``)."""
+
+    def __init__(self, am_K, embedding_mats, vec_ids_dict, durations_dict,
+                 landmarks_dict, seed_boundaries_dict=None,
+                 seed_assignments_dict=None, n_slices_min=0, n_slices_max=20,
+                 min_duration=0, p_boundary_init=0.5,
+                 init_am_assignments="rand", wip=0.0,
+                 batch_size: Optional[int] = None, seed: int = 0):
+        logger.info("Initializing")
+        assert seed_assignments_dict is None or seed_boundaries_dict is not None
+
+        self.n_slices_min = int(n_slices_min)
+        self.n_slices_max = int(n_slices_max)
+        self.wip = float(wip)
+
+        embeddings, vec_ids, ids_to_utterance_labels = process_embeddings(
+            embedding_mats, vec_ids_dict
+        )
+        self.ids_to_utterance_labels = ids_to_utterance_labels
+        N = embeddings.shape[0]
+
+        if seed_boundaries_dict is not None:
+            seed_boundaries = [seed_boundaries_dict[i] for i in ids_to_utterance_labels]
+        else:
+            seed_boundaries = None
+        lengths = [len(landmarks_dict[i]) for i in ids_to_utterance_labels]
+        landmarks = [landmarks_dict[i] for i in ids_to_utterance_labels]
+        durations = [durations_dict[i] for i in ids_to_utterance_labels]
+        self.utterances = Utterances(
+            lengths, vec_ids, durations, landmarks,
+            seed_boundaries=seed_boundaries, p_boundary_init=p_boundary_init,
+            n_slices_min=n_slices_min, n_slices_max=n_slices_max,
+            min_duration=min_duration,
+        )
+
+        init_embeds = []
+        for i in range(self.utterances.D):
+            init_embeds.extend(self.utterances.get_segmented_embeds_i(i))
+        init_embeds = np.array(init_embeds, dtype=int)
+        init_embeds = init_embeds[init_embeds != -1]
+        logger.info("No. initial embeddings: " + str(init_embeds.shape[0]))
+
+        assignments = -1 * np.ones(N, dtype=int)
+        if seed_assignments_dict is not None:
+            raise NotImplementedError("seed assignments: reference asserts to-do "
+                                      "(kmeans_acoustic_wordseg.py:149)")
+        elif init_am_assignments == "rand":
+            logger.info("Using random initial component assignments")
+            assignments[init_embeds] = np.random.randint(0, am_K, len(init_embeds))
+        elif init_am_assignments == "spread":
+            logger.info("Spreading component assignments")
+            n_init = len(init_embeds)
+            lst = (list(range(am_K)) * int(np.ceil(float(n_init) / am_K)))[:n_init]
+            np.random.shuffle(lst)
+            assignments[init_embeds] = np.array(lst)
+        else:
+            raise ValueError(
+                "invalid value for `init_am_assignments`: " + init_am_assignments
+            )
+
+        self.acoustic_model = KMeans(embeddings, am_K, assignments)
+        self.batch_size = int(batch_size) if batch_size else min(
+            64, self.utterances.D
+        )
+        self._boundaries_dev = self.utterances.boundaries_device()
+        self._rng = np.random.RandomState(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._sweep_fn = None
+
+    # ------------------------------------------------------------------ API
+
+    def get_unsup_transcript_i(self, i: int):
+        self._sync_boundaries_to_host()
+        return list(
+            self.acoustic_model.components.get_assignments(
+                self.utterances.get_segmented_embeds_i(i)
+            )
+        )
+
+    def get_max_unsup_transcript_i(self, i: int):
+        """Best components for utterance i's segments
+        (reference kmeans_acoustic_wordseg.py:436-442)."""
+        self._sync_boundaries_to_host()
+        return self.acoustic_model.get_max_assignments(
+            self.utterances.get_segmented_embeds_i(i)
+        )
+
+    def get_vec_embed_neg_len_sqrd_norms(self, vec_ids, durations) -> np.ndarray:
+        """Duration-scaled best-component distances in the triangular layout
+        (reference kmeans_acoustic_wordseg.py:334-351)."""
+        vec_ids = np.asarray(vec_ids)
+        durations = np.asarray(durations, dtype=float)
+        out = np.full(len(vec_ids), -np.inf)
+        valid = vec_ids != -1
+        if valid.any():
+            ids = jnp.asarray(vec_ids[valid].astype(int))
+            scores = neg_sqrd_norms(
+                self.acoustic_model.X[ids], self.acoustic_model.means()
+            )
+            out[valid] = np.asarray(jnp.max(scores, axis=-1))
+        nan_dur = np.isnan(durations)
+        out[nan_dur & valid] = -np.inf
+        ok = valid & ~nan_dur
+        out[ok] = out[ok] * durations[ok]
+        return out + self.wip
+
+    def segment_i(self, i: int) -> float:
+        """Segment one utterance (reference ``segment_i``,
+        kmeans_acoustic_wordseg.py:225-332)."""
+        order = np.full((self.batch_size,), -1, dtype=np.int64)
+        order[0] = i
+        return self._run_blocks(order.reshape(1, -1))
+
+    def segment(self, n_iter: int, n_iter_inbetween_kmeans: int = 0) -> dict:
+        """Segment all utterances, optionally interleaving k-means iterations
+        (reference ``segment``, kmeans_acoustic_wordseg.py:353-425)."""
+        logger.info("Segmenting for " + str(n_iter) + " iterations")
+        record = {k: [] for k in (
+            "sum_neg_sqrd_norm", "sum_neg_len_sqrd_norm", "components",
+            "sample_time", "n_tokens")}
+        for i_iter in range(n_iter):
+            start = time.time()
+            order = self._rng.permutation(self.utterances.D)
+            blocks = np.asarray(
+                pad_utterance_order(jnp.asarray(order), self.batch_size)
+            )
+            sum_neg_len_sqrd_norm = self._run_blocks(blocks)
+            record["sample_time"].append(time.time() - start)
+            record["sum_neg_sqrd_norm"].append(
+                self.acoustic_model.sum_neg_sqrd_norm()
+            )
+            record["sum_neg_len_sqrd_norm"].append(sum_neg_len_sqrd_norm)
+            record["components"].append(self.acoustic_model.K)
+            record["n_tokens"].append(self.acoustic_model.get_n_assigned())
+            info = "iteration: " + str(i_iter)
+            for k in sorted(record):
+                info += ", " + k + ": " + str(record[k][-1])
+            logger.info(info)
+            if n_iter_inbetween_kmeans > 0:
+                self.acoustic_model.fit(
+                    n_iter_inbetween_kmeans, consider_unassigned=False
+                )
+        return record
+
+    # ------------------------------------------------------------ internals
+
+    def _sync_boundaries_to_host(self):
+        self.utterances.set_boundaries_from_device(self._boundaries_dev)
+
+    def _run_blocks(self, blocks: np.ndarray) -> float:
+        am = self.acoustic_model
+        sweep = self._get_sweep_fn()
+        self._key, sub = jax.random.split(self._key)
+        am.state, self._boundaries_dev, obj = sweep(
+            am.state, am.random_means, self._boundaries_dev,
+            jnp.asarray(blocks), sub,
+        )
+        return float(obj)
+
+    def _get_sweep_fn(self):
+        if self._sweep_fn is None:
+            self._sweep_fn = self._build_sweep_fn()
+        return self._sweep_fn
+
+    def _build_sweep_fn(self):
+        am = self.acoustic_model
+        X = am.X
+        K_max = am.K_max
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        N_max = utt.N_max
+        W_store = utt.W
+        W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 else N_max
+        n_min = self.n_slices_min
+        wip = self.wip
+        B = self.batch_size
+
+        def dp_slice(a):
+            if W_store >= W_dp:
+                return a[..., :W_dp]
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, W_dp - W_store)]
+            fill = -1 if jnp.issubdtype(a.dtype, jnp.integer) else jnp.nan
+            return jnp.pad(a, pad, constant_values=fill)
+
+        @jax.jit
+        def sweep(state, random_means, boundaries, blocks, key):
+            def block_step(carry, idx_blk):
+                state, boundaries, key, obj_total = carry
+                valid = idx_blk >= 0
+                idx = jnp.maximum(idx_blk, 0)
+                lengths_blk = jnp.where(valid, lengths_all[idx], 0)
+                seg_ids_blk = seg_ids_all[idx]
+                seg_durs_blk = seg_durs_all[idx]
+                bounds_blk = boundaries[idx]
+
+                means = means_from_state(state, random_means)
+
+                # Old segments (deleted only after the DP, reference :310-320).
+                old_embeds, _ = gather_block_segments(
+                    bounds_blk, lengths_blk, seg_ids_blk
+                )
+
+                # Candidate scores: best-component distance x duration + wip
+                # (kmeans_acoustic_wordseg.py:334-351; note the reference does
+                # NOT apply time_power_term here, :349).
+                cand_ids = dp_slice(seg_ids_blk).reshape(B * N_max * W_dp)
+                Xc = X[jnp.maximum(cand_ids, 0)]
+                best = jnp.max(neg_sqrd_norms(Xc, means), axis=-1)
+                best = best.reshape(B, N_max, W_dp)
+                durs = dp_slice(seg_durs_blk).astype(best.dtype)
+                scores = best * jnp.where(jnp.isnan(durs), 0.0, durs) + wip
+                invalid = (dp_slice(seg_ids_blk) < 0) | jnp.isnan(durs)
+                scores = jnp.where(invalid, NEG_INF, scores)
+
+                # Viterbi segmentation (forward_backward_kmeans_viterbi,
+                # kmeans_acoustic_wordseg.py:449-555).
+                key, k_dp = jax.random.split(key)
+                obj, new_bounds = dp_ops.segment_dp(
+                    scores, lengths_blk, k_dp, 0.0, 1.0,
+                    n_slices_min=n_min, n_slices_max=W_dp, mode="viterbi",
+                )
+
+                # Argmax re-assignment with the frozen means (:436-442).
+                new_embeds, _ = gather_block_segments(
+                    new_bounds, lengths_blk, seg_ids_blk
+                )
+                flat_new = new_embeds.reshape(-1)
+                Xn = X[jnp.maximum(flat_new, 0)]
+                new_ks = jnp.argmax(neg_sqrd_norms(Xn, means), axis=-1)
+                new_ks = new_ks.reshape(new_embeds.shape).astype(jnp.int32)
+                new_ks = jnp.where(new_embeds >= 0, new_ks, -1)
+
+                # Apply: update the assignment vector, rebuild stats.
+                vmask = valid[:, None]
+                oob = state.assignments.shape[0]
+                old_flat = jnp.where(
+                    vmask & (old_embeds >= 0), old_embeds, oob
+                ).reshape(-1)
+                assignments = state.assignments.at[old_flat].set(-1, mode="drop")
+                new_flat = jnp.where(
+                    vmask & (new_embeds >= 0), new_embeds, oob
+                ).reshape(-1)
+                assignments = assignments.at[new_flat].set(
+                    new_ks.reshape(-1), mode="drop"
+                )
+                state = kmeans_state_from_assignments(X, assignments, K_max)
+
+                idx_w = jnp.where(valid, idx, boundaries.shape[0])
+                boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
+                obj_total = obj_total + jnp.sum(jnp.where(valid, obj, 0.0))
+                return (state, boundaries, key, obj_total), None
+
+            init = (state, boundaries, key, jnp.zeros((), X.dtype))
+            (state, boundaries, key, obj_total), _ = jax.lax.scan(
+                block_step, init, blocks
+            )
+            return state, boundaries, obj_total
+
+        return sweep

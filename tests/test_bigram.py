@@ -1,0 +1,169 @@
+"""Bigram LM + bigram segmenter tests.
+
+The LM checks are exact algebraic identities ported from the reference
+(tests/test_bigram_lms.py:13-74); the segmenter checks are end-to-end runs of
+the reference demo corpus (bigram_acoustic_wordseg.py:765-857).
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from segmentalist_tpu.models.bigram_lm import BigramSmoothLM
+from segmentalist_tpu.segmenters.bigram import BigramAcousticWordseg
+from segmentalist_tpu.priors import FixedVarPrior
+
+
+def test_lm_identities():
+    intrp_lambda, a, b, K = 0.1, 1, 2, 5
+    lm = BigramSmoothLM(intrp_lambda, a, b, K)
+    data = [
+        [1, 1, 3, 4, 0],
+        [4, 4],
+        [1, 0, 2, 2, 2, 2, 3, 1],
+        [3, 3, 1],
+    ]
+    lm.counts_from_data(data)
+
+    npt.assert_allclose(
+        lm.prob_i_given_j(1, 3),
+        intrp_lambda * lm.prob_i(1) + (1 - intrp_lambda) * (2.0 + b / K) / (4 + b),
+        rtol=1e-12,
+    )
+    npt.assert_allclose(lm.prob_i(1), (5.0 + a / K) / (18 + a), rtol=1e-12)
+    pv = lm.prob_vec_i()
+    for i in range(K):
+        npt.assert_allclose(pv[i], lm.prob_i(i), rtol=1e-12)
+    pj = lm.prob_vec_given_j(3)
+    for i in range(K):
+        npt.assert_allclose(pj[i], lm.prob_i_given_j(i, 3), rtol=1e-12)
+    npt.assert_allclose(lm.log_prob_vec_i(), np.log(pv), rtol=1e-12)
+
+
+def test_lm_add_remove_roundtrip():
+    lm = BigramSmoothLM(0.2, 1.0, 2.0, 4)
+    lm.counts_from_utterance([0, 1, 1, 3])
+    lm.counts_from_utterance([2, 0])
+    uni0 = lm.unigram_counts.copy()
+    big0 = lm.bigram_counts.copy()
+    lm.counts_from_utterance([3, 3, 1])
+    lm.remove_counts_from_utterance([3, 3, 1])
+    npt.assert_array_equal(lm.unigram_counts, uni0)
+    npt.assert_array_equal(lm.bigram_counts, big0)
+    # -1 pads carry context over, like the reference's `continue`.
+    lm2 = BigramSmoothLM(0.2, 1.0, 2.0, 4)
+    lm2.counts_from_utterance([0, 1, 3])
+    lm3 = BigramSmoothLM(0.2, 1.0, 2.0, 4)
+    lm3.counts_from_utterance([0, -1, 1, -1, 3, -1])
+    npt.assert_array_equal(lm2.bigram_counts, lm3.bigram_counts)
+
+
+def _demo_corpus():
+    """Reference demo (bigram_acoustic_wordseg.py:771-817)."""
+    embedding_mat1 = np.array(
+        [[1.55329044, 0.82568932, 0.56011276],
+         [1.10640768, -0.41715366, 0.30323529],
+         [1.24183824, -2.39021548, 0.02369367],
+         [1.26094544, -0.27567053, 1.35731148],
+         [1.59711416, -0.54917262, -0.56074459],
+         [-0.4298405, 1.39010761, -1.2608597]], dtype=np.float64)
+    embedding_mat2 = np.array(
+        [[1.63075195, 0.25297823, -1.75406467],
+         [-0.59324473, 0.96613426, -0.20922202],
+         [0.97066059, -1.22315308, -0.37979187],
+         [-0.31613254, -0.07262261, -1.04392799],
+         [-1.11535652, 0.33905751, 1.85588856],
+         [-1.08211738, 0.88559445, 0.2924617]], dtype=np.float64)
+    n_slices = 3
+    vec_ids = -1 * np.ones((n_slices ** 2 + n_slices) // 2, dtype=int)
+    i_embed = 0
+    for cur_start in range(n_slices):
+        for cur_end in range(cur_start, n_slices):
+            t = cur_end + 1
+            i = t * (t - 1) // 2
+            vec_ids[i + cur_start] = i_embed
+            i_embed += 1
+    mats = {"test1": embedding_mat1, "test2": embedding_mat2}
+    vids = {"test1": vec_ids.copy(), "test2": vec_ids.copy()}
+    lms_d = {"test1": [1, 2, 3], "test2": [1, 2, 3]}
+    durs = {"test1": [1, 2, 1, 3, 2, 1], "test2": [1, 2, 1, 3, 2, 1]}
+    return mats, vids, durs, lms_d
+
+
+def _make_bigram_seg(**kwargs):
+    mats, vids, durs, lms_d = _demo_corpus()
+    D = 3
+    m_0 = np.zeros(D)
+    k_0 = 0.05
+    S_0 = 0.002 * np.ones(D)
+    prior = FixedVarPrior.create(S_0, m_0, S_0 / k_0)
+    lm_params = {"type": "smooth", "intrp_lambda": 0, "a": 0.5, "b": 0.5}
+    defaults = dict(
+        am_K=3, am_param_prior=prior, lm_params=lm_params,
+        embedding_mats=mats, vec_ids_dict=vids, durations_dict=durs,
+        landmarks_dict=lms_d, p_boundary_init=0.9, beta_sent_boundary=-1,
+        n_slices_max=2, fb_type="unigram", lms=1.0, batch_size=1, seed=1,
+    )
+    defaults.update(kwargs)
+    return BigramAcousticWordseg(**defaults)
+
+
+@pytest.mark.parametrize("batch_size", [1, 2])
+def test_bigram_sampling_runs(batch_size):
+    np.random.seed(1)
+    seg = _make_bigram_seg(batch_size=batch_size)
+    record = seg.gibbs_sample(5)
+    assert np.isfinite(record["log_marg"]).all()
+    assert np.isfinite(record["log_prob_z"]).all()
+    # LM counts stay consistent with the acoustic model counts
+    # (the reference checks this with commented-out asserts, :285, :508).
+    am_counts = np.asarray(seg.acoustic_model.stats.counts)
+    npt.assert_array_equal(seg.lm.unigram_counts, am_counts)
+    # log_marg bookkeeping
+    for lm_v, lz, lx in zip(record["log_marg"], record["log_prob_z"],
+                            record["log_prob_X_given_z"]):
+        npt.assert_allclose(lm_v, lz + lx, rtol=1e-9)
+    for i in range(2):
+        tr = seg.get_unsup_transcript_i(i)
+        assert all(k >= 0 for k in tr)
+
+
+def test_bigram_assignments_only():
+    np.random.seed(1)
+    seg = _make_bigram_seg()
+    bounds_before = seg.utterances.boundaries.copy()
+    record = seg.gibbs_sample(3, assignments_only=True)
+    seg._sync_boundaries_to_host()
+    npt.assert_array_equal(seg.utterances.boundaries, bounds_before)
+    assert record["log_marg*length"] == [0.0, 0.0, 0.0]
+
+
+def test_bigram_fb_type_stub_raises():
+    np.random.seed(1)
+    seg = _make_bigram_seg(fb_type="bigram")
+    with pytest.raises(NotImplementedError):
+        seg.gibbs_sample(1)
+
+
+def test_log_prob_z_matches_manual_replay():
+    np.random.seed(1)
+    seg = _make_bigram_seg()
+    seg.gibbs_sample(2)
+    # Manual replay with the parity LM class (reference log_prob_z, :287-305).
+    lm_tmp = BigramSmoothLM(seg.lm.intrp_lambda, seg.lm.a, seg.lm.b, seg.lm.K)
+    total = 0.0
+    for i_utt in range(seg.utterances.D):
+        j_prev = None
+        for i_cur in seg.get_unsup_transcript_i(i_utt):
+            if j_prev is not None:
+                total += np.log(lm_tmp.prob_i_given_j(i_cur, j_prev))
+                lm_tmp.state = lm_tmp.state._replace(
+                    bigram_counts=lm_tmp.state.bigram_counts.at[j_prev, i_cur].add(1)
+                )
+            else:
+                total += np.log(lm_tmp.prob_i(i_cur))
+            lm_tmp.state = lm_tmp.state._replace(
+                unigram_counts=lm_tmp.state.unigram_counts.at[i_cur].add(1)
+            )
+            j_prev = i_cur
+    npt.assert_allclose(seg.log_prob_z(), total, rtol=1e-9)
