@@ -142,6 +142,19 @@ class Utterances:
 
     def _build_dense(self):
         D, N_max, W = self.D, self.N_max, self.W
+        # Native packer (segmentalist_tpu/native) when available.
+        from . import native
+
+        packed = native.pack_dense(
+            self.vec_ids, self.durations,
+            np.asarray(self.lengths, np.int64), N_max, W,
+        )
+        if packed is not None:
+            seg_ids, seg_durs = packed
+            self.seg_ids = jnp.asarray(seg_ids, dtype=jnp.int32)
+            self.seg_durations = jnp.asarray(seg_durs, dtype=jnp.float32)
+            self.lengths_dev = jnp.asarray(self.lengths, dtype=jnp.int32)
+            return
         # idx[t, w] = triangular index of span ending at landmark t with
         # length w + 1; -1 (sentinel) where the span is invalid.
         t_grid, w_grid = np.meshgrid(

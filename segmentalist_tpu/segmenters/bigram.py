@@ -314,10 +314,13 @@ class BigramAcousticWordseg:
         sweep = self._get_sweep_fn(bool(assignments_only))
         log_p_continue = math.log(self.calc_p_continue())
         assign_temp = anneal_temp if anneal_gibbs_am else 1.0
+        from .common import place_blocks
+
+        blocks_dev = place_blocks(blocks, getattr(self, "_mesh", None))
         (am.stats, am.assignments, self._boundaries_dev, self.lm.state,
          am.key, log_prob) = sweep(
             am.stats, am.assignments, self._boundaries_dev, self.lm.state,
-            am.key, jnp.asarray(blocks),
+            am.key, blocks_dev,
             jnp.asarray(anneal_temp, dtype=am.X.dtype),
             jnp.asarray(assign_temp, dtype=am.X.dtype),
             jnp.asarray(log_p_continue, dtype=am.X.dtype),

@@ -188,6 +188,18 @@ def masked_candidate_scores(log_margs: Array, seg_ids_blk: Array,
     return jnp.where(invalid, NEG_INF, scores)
 
 
+def place_blocks(blocks, mesh, axis_name: str = "data"):
+    """Shard a [n_blocks, B] utterance-index array over the mesh's data axis
+    (dimension 1), so each device owns B/n utterances of every block."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    blocks = jnp.asarray(blocks)
+    if mesh is None:
+        return blocks
+    return jax.device_put(blocks, NamedSharding(mesh, P(None, axis_name)))
+
+
 def pad_utterance_order(order, batch_size: int):
     """Pad a [U] permutation to a multiple of ``batch_size`` with -1."""
     U = order.shape[0]

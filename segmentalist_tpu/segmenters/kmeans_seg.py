@@ -192,9 +192,11 @@ class SegmentalKMeansWordseg:
         am = self.acoustic_model
         sweep = self._get_sweep_fn()
         self._key, sub = jax.random.split(self._key)
+        from .common import place_blocks
+
+        blocks_dev = place_blocks(blocks, getattr(self, "_mesh", None))
         am.state, self._boundaries_dev, obj = sweep(
-            am.state, am.random_means, self._boundaries_dev,
-            jnp.asarray(blocks), sub,
+            am.state, am.random_means, self._boundaries_dev, blocks_dev, sub,
         )
         return float(obj)
 

@@ -315,9 +315,12 @@ class UnigramAcousticWordseg:
         sweep = self._get_sweep_fn()
         log_p_continue = math.log(self.calc_p_continue())
         assign_temp = anneal_temp if anneal_gibbs_am else 1.0
+        from .common import place_blocks
+
+        blocks_dev = place_blocks(blocks, getattr(self, "_mesh", None))
         (am.stats, am.assignments, self._boundaries_dev, am.key, log_prob) = sweep(
             am.stats, am.assignments, self._boundaries_dev, am.key,
-            jnp.asarray(blocks), jnp.asarray(anneal_temp, dtype=am.X.dtype),
+            blocks_dev, jnp.asarray(anneal_temp, dtype=am.X.dtype),
             jnp.asarray(assign_temp, dtype=am.X.dtype),
             jnp.asarray(log_p_continue, dtype=am.X.dtype),
         )
