@@ -167,6 +167,42 @@ class FBGMM:
         """log p(X, z) (reference ``log_marg``, fbgmm.py:231-253)."""
         return self.log_prob_z() + self.log_prob_X_given_z()
 
+    def sweep_metrics(self) -> dict:
+        """All per-iteration record statistics in ONE fused device call.
+
+        Computes the reference record_dict quantities (``fbgmm.py:322-330``,
+        ``unigram_acoustic_wordseg.py:423-432``) -- log_prob_z,
+        log_prob_X_given_z, log_marg, active K, n_assigned, n_tokens -- in a
+        single jitted program with a single small host transfer, instead of
+        four eager computations per iteration.
+        """
+        key = ("metrics", self.K_max)
+        if key not in self._jit_cache:
+            cov, prior, alpha, K_max = self.cov, self.prior, self.alpha, self.K_max
+
+            @jax.jit
+            def metrics(stats, assignments):
+                lpz = log_prob_z_dirichlet(stats.counts, alpha, K_max)
+                lpx = cov.log_marg(prior, stats)
+                return (
+                    lpz, lpx, num_active(stats),
+                    jnp.sum((assignments >= 0).astype(jnp.int32)),
+                    jnp.sum(stats.counts),
+                )
+
+            self._jit_cache[key] = metrics
+        lpz, lpx, k_act, n_assigned, n_tokens = jax.device_get(
+            self._jit_cache[key](self.stats, self.assignments)
+        )
+        return {
+            "log_prob_z": float(lpz),
+            "log_prob_X_given_z": float(lpx),
+            "log_marg": float(lpz) + float(lpx),
+            "components": int(k_act),
+            "n_assigned": int(n_assigned),
+            "n_tokens": int(n_tokens),
+        }
+
     def log_marg_i(self, i: int) -> float:
         """Collapsed marginal of one *held-out* vector (reference
         ``log_marg_i``, fbgmm.py:256-286): assumes x_i is not in the model."""
@@ -288,11 +324,12 @@ class FBGMM:
             jax.block_until_ready(self.assignments)
             record["sample_time"].append(time.time() - start)
             start = time.time()
-            record["log_marg"].append(self.log_marg())
-            record["log_prob_z"].append(self.log_prob_z())
-            record["log_prob_X_given_z"].append(self.log_prob_X_given_z())
+            m = self.sweep_metrics()
+            record["log_marg"].append(m["log_marg"])
+            record["log_prob_z"].append(m["log_prob_z"])
+            record["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
             record["anneal_temp"].append(temp)
-            record["components"].append(self.K)
+            record["components"].append(m["components"])
         return record
 
     def _get_sweep_fn(self, mode: str, consider_unassigned: bool):

@@ -4,33 +4,47 @@ TPU-native re-design of the reference module-level DP functions
 (``unigram_acoustic_wordseg.py:653-864`` and
 ``kmeans_acoustic_wordseg.py:449-555``).  The reference walks a packed
 triangular score vector with Python loops and per-step Cython ``logsumexp`` /
-``draw`` calls; here the recursion is a ``lax.scan`` over landmark positions
-with a static ``W = n_slices_max``-wide gather window, vmapped over a padded
-batch of utterances.
+``draw`` calls.  Here the recursion is decomposed so that only the forward
+filter is sequential:
+
+1. **Forward filter** over landmark positions with a static
+   ``W = n_slices_max`` gather window -- one Pallas kernel with the alpha
+   buffer in VMEM (``ops/pallas_dp.py``), or an equivalent ``fori_loop`` on
+   non-TPU backends.
+2. **Per-node backward sampling, fully parallel.**  The reference backward
+   loop (``:709-751``) walks node-by-node, drawing each segment length from
+   the windowed distribution.  Because each node's draw is independent of
+   *which* nodes the walk visits, we draw a predecessor pointer ``p(v)`` for
+   EVERY prefix length ``v`` simultaneously (one batched Gumbel-max), then
+3. **extract the visited chain** ``length -> p(length) -> ...`` with a
+   boolean transitive closure computed by ~log2(N) batched matrix squarings
+   (MXU-friendly), instead of a sequential pointer chase.
+
+Semantics matched to the reference:
+  * the asymmetric ``[-n_slices_max : -(n_slices_min - 1)]`` window
+    (``unigram_acoustic_wordseg.py:683, :693-699``);
+  * annealed backward sampling (Gumbel-max replaces the Cython ``draw``);
+  * the backtracking fallback that force-inserts a boundary when every
+    candidate continuation is -inf (``:718-730``): an unsamplable node's
+    pointer is ``p(v) = v - 1``, and a boundary is recorded at ``v - 1`` only
+    for visited nodes that are samplable, are the sentence end, or are the
+    start of a sampled segment.  (The reference's fallback re-check ignores
+    the ``n_slices_min`` cut and then mis-offsets the drawn index by
+    ``n_slices_min - 1``; we apply the cut consistently instead.)
+  * the Viterbi twins replace logsumexp/draw with max/argmax, omit
+    ``log_p_continue``, and break ties toward shorter segments
+    (``:843-844``).
 
 Score layout (see ``segmentalist_tpu.corpus``):
     scores[b, t, w] = score of the candidate segment that ends at landmark
-                      ``t`` (0-based) and covers ``w + 1`` slices.
-    -inf marks invalid candidates (missing embeddings, masked durations,
-    positions beyond the utterance length).
-
-Semantics matched to the reference:
-  * forward recursion over prefix lengths with the asymmetric
-    ``[-n_slices_max : -(n_slices_min - 1)]`` window
-    (``unigram_acoustic_wordseg.py:683, :693-699``);
-  * backward sampling of segment lengths from the annealed, normalised window
-    distribution (``:709-751``) -- Gumbel-max replaces the Cython ``draw``;
-  * the backtracking fallback that force-inserts a boundary when every
-    candidate continuation is -inf (``:718-730``).  (The reference's fallback
-    re-check ignores the ``n_slices_min`` cut and then mis-offsets the drawn
-    index by ``n_slices_min - 1``; we apply the cut consistently instead.)
-  * the Viterbi twins replace logsumexp/draw with max/argmax and omit
-    ``log_p_continue`` in the forward pass (``:801-815``).
+    ``t`` (0-based) and covers ``w + 1`` slices; -inf marks invalid
+    candidates.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -41,127 +55,86 @@ from .random import NEG_INF, logsumexp
 Array = jnp.ndarray
 
 
-def _window_logits(scores_b, alphas_pad, t, W, n_slices_min):
-    """Window of (segment score + predecessor alpha) at prefix length ``t``.
+def _rev_mask_scores(scores: Array, n_slices_min: int) -> Array:
+    """Reverse the window axis and apply the ``n_slices_min`` cut.
 
-    Returns [W] vector ordered by predecessor index ascending: entry j
-    corresponds to segment length ``len = W - j`` (segment [t-len : t]).
+    ``rev[b, t, j] = scores[b, t, W - 1 - j]`` corresponds to segment length
+    ``len = W - j``, so window entry j pairs with predecessor ``alpha[t - W +
+    j]`` (ascending predecessor order, as in the reference window slice).
     """
-    # alphas_pad[W + i] = alpha[i]; front padding is -inf so len > t masks out.
-    window_alphas = jax.lax.dynamic_slice(alphas_pad, (t,), (W,))  # alpha[t-W .. t-1]
-    # scores row for segments ending at landmark t-1: w = len - 1 = W - 1 - j.
-    row = scores_b[t - 1]  # [W]; w index = length - 1
-    window_scores = row[::-1]  # j -> w = W - 1 - j
-    lens = (W - jnp.arange(W)).astype(jnp.int32)
-    logits = window_scores + window_alphas
-    logits = jnp.where(lens >= n_slices_min, logits, NEG_INF)
-    return logits, lens
+    W = scores.shape[-1]
+    rev = scores[..., ::-1]
+    if n_slices_min > 1:
+        lens = W - jnp.arange(W)
+        rev = jnp.where(lens >= n_slices_min, rev, NEG_INF)
+    return rev
 
 
-def _forward(scores_b, length, log_p_continue, n_slices_min, use_max):
-    """Forward pass for one utterance.
+def _forward_xla(rev_scores: Array, lengths: Array, lpc, use_max: bool) -> Array:
+    """Reference XLA forward filter: [B, W + N] alpha table (front pad -inf)."""
+    B, N, W = rev_scores.shape
+    ap = jnp.full((B, W + N), NEG_INF, dtype=rev_scores.dtype)
+    ap = ap.at[:, W].set(0.0)
+    sc = jnp.swapaxes(rev_scores, 0, 1)  # [N, B, W]
 
-    Returns alpha_pad [W + N_max]: alpha_pad[W + t] = log alpha at prefix
-    length t (reference ``forward_backward`` forward loop,
-    unigram_acoustic_wordseg.py:691-703).
-    """
-    N_max, W = scores_b.shape
-    alphas_pad = jnp.full((W + N_max,), NEG_INF, dtype=scores_b.dtype)
-    alphas_pad = alphas_pad.at[W].set(0.0)
-
-    def body(t, alphas_pad):
-        logits, _ = _window_logits(scores_b, alphas_pad, t, W, n_slices_min)
+    def body(t, ap):
+        window = jax.lax.dynamic_slice_in_dim(ap, t, W, axis=1)  # [B, W]
+        row = jax.lax.dynamic_index_in_dim(sc, t - 1, axis=0, keepdims=False)
+        logits = row + window
         if use_max:
-            val = jnp.max(logits)
+            val = jnp.max(logits, axis=-1)
         else:
-            val = logsumexp(logits) + log_p_continue
-        val = jnp.where(t < length, val, NEG_INF)
-        return alphas_pad.at[W + t].set(val)
+            val = logsumexp(logits, axis=-1) + lpc
+        val = jnp.where(t < lengths, val, NEG_INF)
+        return jax.lax.dynamic_update_slice_in_dim(
+            ap, val[:, None], W + t, axis=1
+        )
 
-    # Reference computes alpha[1 .. N-1]; alpha[N] is folded into backward.
-    return jax.lax.fori_loop(1, N_max, body, alphas_pad)
+    return jax.lax.fori_loop(1, N, body, ap)
 
 
-def _backward(scores_b, alphas_pad, length, key, n_slices_min, anneal_temp,
-              sample: bool):
-    """Backward sampling / decoding for one utterance.
+def _visited_closure(p: Array, lengths: Array) -> Array:
+    """[B, N + 1] mask of nodes on the chain ``length -> p(length) -> ... -> 0``.
 
-    Returns (log_prob, boundaries [N_max]).  Mirrors the reference backward
-    loop (unigram_acoustic_wordseg.py:709-751) including the backtracking
-    fallback.  Each scan step either consumes one sampled segment (t -= k) or
-    backtracks one landmark (t -= 1), so N_max steps always suffice.
+    ``p`` [B, N + 1] is strictly decreasing (p(v) < v for v >= 1, p(0) = 0),
+    so the reachability matrix closes after ceil(log2(N + 1)) squarings of
+    ``R = I | onehot(p)`` -- batched [N+1, N+1] matmuls instead of a
+    sequential pointer chase.
     """
-    N_max, W = scores_b.shape
-    boundaries = jnp.zeros((N_max,), dtype=bool)
-    boundaries = boundaries.at[length - 1].set(True)
-
-    def step(carry, key_t):
-        t, pending, log_prob, boundaries = carry
-        active = t > 0
-        t_safe = jnp.maximum(t, 1)
-        logits, lens = _window_logits(scores_b, alphas_pad, t_safe, W, n_slices_min)
-        samplable = jnp.any(jnp.isfinite(logits))
-
-        # Branch A: no valid continuation -> backtrack one landmark and
-        # remember to insert a boundary at the first samplable point.
-        do_backtrack = active & ~samplable
-
-        # Branch B: sample / argmax a segment length k.
-        if sample:
-            scaled = jnp.where(jnp.isneginf(logits), NEG_INF, logits / anneal_temp)
-            g = jax.random.gumbel(key_t, scaled.shape, dtype=scaled.dtype)
-            pick = jnp.argmax(jnp.where(jnp.isneginf(scaled), NEG_INF, scaled + g))
-        else:
-            # Reference Viterbi argmaxes the *reversed* window and breaks ties
-            # toward shorter segments (np.argmax on p_k[::-1],
-            # unigram_acoustic_wordseg.py:843-844).
-            rev = logits[::-1]
-            pick_rev = jnp.argmax(rev)
-            pick = W - 1 - pick_rev
-        k = lens[pick]
-        seg_score = scores_b[t_safe - 1, k - 1]
-
-        do_sample = active & samplable
-        # Pending boundary insertion from an earlier backtrack
-        # (reference :730: boundaries[t - 1] = True at the samplable t).
-        boundaries = boundaries.at[t_safe - 1].set(
-            jnp.where(do_sample & pending, True, boundaries[t_safe - 1])
-        )
-        new_pending = jnp.where(do_backtrack, True,
-                                jnp.where(do_sample, False, pending))
-        log_prob = log_prob + jnp.where(do_sample, seg_score, 0.0)
-        # Boundary at the segment start (reference :750) unless it is 0.
-        start_idx = t_safe - k - 1
-        put_boundary = do_sample & (start_idx >= 0)
-        boundaries = boundaries.at[jnp.maximum(start_idx, 0)].set(
-            jnp.where(put_boundary, True, boundaries[jnp.maximum(start_idx, 0)])
-        )
-        t_next = jnp.where(do_sample, t - k, jnp.where(do_backtrack, t - 1, t))
-        return (t_next.astype(t.dtype), new_pending, log_prob, boundaries), None
-
-    keys = jax.random.split(key, N_max)
-    init = (length, jnp.bool_(False), jnp.zeros((), scores_b.dtype), boundaries)
-    (t, _, log_prob, boundaries), _ = jax.lax.scan(step, init, keys)
-    return log_prob, boundaries
+    B, N1 = p.shape
+    dtype = jnp.float32
+    R = jax.nn.one_hot(p, N1, dtype=dtype)
+    R = jnp.maximum(R, jnp.eye(N1, dtype=dtype)[None])
+    for _ in range(max(1, math.ceil(math.log2(N1)))):
+        R = jnp.minimum(jnp.matmul(R, R), 1.0)
+    start = jnp.take_along_axis(
+        R, lengths.astype(jnp.int32)[:, None, None].clip(0),
+        axis=1,
+    )[:, 0, :]  # row `length` of each closure matrix
+    return start > 0.5
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_slices_min", "n_slices_max", "mode")
+    jax.jit, static_argnames=("n_slices_min", "n_slices_max", "mode",
+                              "use_pallas")
 )
 def segment_dp(scores: Array, lengths: Array, key: jax.Array,
                log_p_continue=0.0, anneal_temp=1.0,
                n_slices_min: int = 0, n_slices_max: int = 0,
-               mode: str = "sample") -> Tuple[Array, Array]:
+               mode: str = "sample", use_pallas: bool | None = None
+               ) -> Tuple[Array, Array]:
     """Batched segmentation DP.
 
     Parameters
     ----------
     scores : [B, N_max, W] candidate segment scores (see module docstring).
         W must equal ``n_slices_max`` (or the full N_max when 0).
-    lengths : [B] utterance lengths in landmarks.
+    lengths : [B] utterance lengths in landmarks (0 allowed: no boundaries).
     key : PRNG key (ignored for mode="viterbi").
     mode : "sample" (FFBS, reference ``forward_backward``) or "viterbi"
         (reference ``forward_backward_viterbi`` / the k-means variant).
+    use_pallas : force the Pallas forward kernel on/off (default: auto, TPU
+        only).
 
     Returns
     -------
@@ -169,16 +142,74 @@ def segment_dp(scores: Array, lengths: Array, key: jax.Array,
     """
     if mode not in ("sample", "viterbi"):
         raise ValueError(mode)
-    B = scores.shape[0]
+    B, N, W = scores.shape
     use_max = mode == "viterbi"
     n_min = max(int(n_slices_min), 0)
-    lpc = jnp.asarray(log_p_continue, dtype=scores.dtype)
-    temp = jnp.asarray(anneal_temp, dtype=scores.dtype)
+    dtype = scores.dtype
+    lpc = jnp.asarray(log_p_continue, dtype=dtype)
+    temp = jnp.asarray(anneal_temp, dtype=dtype)
+    lengths = lengths.astype(jnp.int32)
 
-    def one(scores_b, length, key_b):
-        alphas_pad = _forward(scores_b, length, lpc, n_min, use_max)
-        return _backward(scores_b, alphas_pad, length, key_b, n_min, temp,
-                         sample=not use_max)
+    rev = _rev_mask_scores(scores, n_min)
 
-    keys = jax.random.split(key, B)
-    return jax.vmap(one)(scores, lengths, keys)
+    # ---- 1. forward filter --------------------------------------------- #
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas_dp import forward_alphas
+
+        alphas_pad = forward_alphas(
+            rev, lengths, lpc, use_max=use_max,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        alphas_pad = _forward_xla(rev, lengths, lpc, use_max)
+
+    # ---- 2. per-node backward draws (parallel over all nodes) ----------- #
+    # Node v in 1..N: window logits[j] = rev[v-1, j] + alpha[v - W + j].
+    v_idx = jnp.arange(1, N + 1)
+    gather_idx = v_idx[:, None] + jnp.arange(W)[None, :]  # alphas_pad[v + j]
+    window_alphas = alphas_pad[:, gather_idx]  # [B, N, W]
+    node_logits = rev + window_alphas
+    samplable = jnp.any(jnp.isfinite(node_logits), axis=-1)  # [B, N]
+
+    if use_max:
+        # Tie-break toward shorter segments: argmax over ascending w.
+        pick_rev = jnp.argmax(node_logits[..., ::-1], axis=-1)
+        pick = W - 1 - pick_rev
+    else:
+        scaled = jnp.where(jnp.isneginf(node_logits), NEG_INF,
+                           node_logits / temp)
+        g = jax.random.gumbel(key, scaled.shape, dtype=dtype)
+        pick = jnp.argmax(
+            jnp.where(jnp.isneginf(scaled), NEG_INF, scaled + g), axis=-1
+        )
+
+    k = (W - pick).astype(jnp.int32)  # chosen segment length per node
+    contrib = jnp.take_along_axis(rev, pick[..., None], axis=-1)[..., 0]
+
+    # Predecessor pointers over nodes 0..N (node 0 is absorbing).
+    p_nodes = jnp.where(samplable, v_idx[None, :] - k, v_idx[None, :] - 1)
+    p = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), p_nodes.astype(jnp.int32)], axis=1
+    )  # [B, N + 1]
+
+    # ---- 3. chain extraction via transitive closure --------------------- #
+    visited = _visited_closure(p, lengths)  # [B, N + 1]
+    samp0 = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), samplable], axis=1
+    )  # [B, N + 1]
+
+    # Start-of-sampled-segment nodes: z visited & samplable -> mark p(z).
+    src = (visited & samp0).astype(jnp.float32)
+    onehot_p = jax.nn.one_hot(p, N + 1, dtype=jnp.float32)
+    seg_start = jnp.einsum("bz,bzv->bv", src, onehot_p) > 0.5
+
+    is_end = jnp.arange(N + 1)[None, :] == lengths[:, None]
+    bounded = visited & (samp0 | is_end | seg_start)
+    boundaries = bounded[:, 1:]  # node v -> boundaries[v - 1]
+
+    log_prob = jnp.sum(
+        jnp.where(visited[:, 1:] & samplable, contrib, 0.0), axis=-1
+    )
+    return log_prob, boundaries

@@ -288,16 +288,15 @@ class UnigramAcousticWordseg:
                 pad_utterance_order(jnp.asarray(order), self.batch_size)
             )
             log_prob = self._run_blocks(blocks, temp, anneal_gibbs_am)
+            m = self.acoustic_model.sweep_metrics()
             record["sample_time"].append(time.time() - start)
-            record["log_marg"].append(self.acoustic_model.log_marg())
+            record["log_marg"].append(m["log_marg"])
             record["log_marg*length"].append(log_prob)
-            record["log_prob_z"].append(self.acoustic_model.log_prob_z())
-            record["log_prob_X_given_z"].append(
-                self.acoustic_model.log_prob_X_given_z()
-            )
+            record["log_prob_z"].append(m["log_prob_z"])
+            record["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
             record["anneal_temp"].append(temp)
-            record["components"].append(self.acoustic_model.K)
-            record["n_tokens"].append(self.acoustic_model.get_n_assigned())
+            record["components"].append(m["components"])
+            record["n_tokens"].append(m["n_assigned"])
             info = "iteration: " + str(i_iter)
             for k in sorted(record):
                 info += ", " + k + ": " + str(record[k][-1])

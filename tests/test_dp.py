@@ -143,3 +143,85 @@ def test_backtracking_fallback():
     # After consuming [2:3], t=2 has no valid continuation; fallback walks to
     # t=1 (samplable via segment [0:1]) and inserts boundary at t-1 = 0.
     assert b[1] or b[0]
+
+
+def test_pallas_forward_matches_xla():
+    """The Pallas forward kernel (interpret mode on CPU) must agree with the
+    portable XLA forward filter."""
+    from segmentalist_tpu.ops.dp import _forward_xla, _rev_mask_scores
+    from segmentalist_tpu.ops.pallas_dp import forward_alphas
+
+    rng = np.random.RandomState(3)
+    B, N_max, W = 7, 11, 4
+    lengths = np.array([11, 8, 4, 1, 6, 11, 2])
+    scores = _random_scores(rng, B, N_max, W, lengths).astype(np.float32)
+    rev = _rev_mask_scores(jnp.asarray(scores), 0)
+    lens = jnp.asarray(lengths, dtype=jnp.int32)
+    for use_max in (False, True):
+        ref = _forward_xla(rev, lens, jnp.float32(-0.1), use_max)
+        pal = forward_alphas(rev, lens, jnp.float32(-0.1), use_max=use_max,
+                             interpret=True)
+        npt.assert_allclose(np.asarray(pal), np.asarray(ref), rtol=1e-5,
+                            atol=1e-5)
+
+
+def test_sample_mode_pallas_path_matches_xla_path():
+    """segment_dp with the Pallas forward must produce identical samples to
+    the XLA forward under the same key (the backward draws are a pure
+    function of the alpha table)."""
+    rng = np.random.RandomState(4)
+    B, N_max, W = 6, 10, 5
+    lengths = np.array([10, 7, 3, 10, 5, 9])
+    scores = _random_scores(rng, B, N_max, W, lengths).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    lp_a, b_a = segment_dp(jnp.asarray(scores), jnp.asarray(lengths), key,
+                           -0.05, 1.0, n_slices_min=0, n_slices_max=W,
+                           mode="sample", use_pallas=False)
+    lp_b, b_b = segment_dp(jnp.asarray(scores), jnp.asarray(lengths), key,
+                           -0.05, 1.0, n_slices_min=0, n_slices_max=W,
+                           mode="sample", use_pallas=True)
+    npt.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), rtol=1e-5)
+    npt.assert_array_equal(np.asarray(b_a), np.asarray(b_b))
+
+
+def test_ffbs_full_distribution_three_landmarks():
+    """Exhaustive check: sampled segmentation frequencies match the exact
+    posterior over all 4 segmentations of a 3-landmark utterance."""
+    rng = np.random.RandomState(5)
+    N, W = 3, 3
+    scores = rng.randn(N, W).astype(np.float64)
+    for t in range(N):
+        for w in range(W):
+            if w > t:
+                scores[t, w] = NEG_INF
+    # Enumerate segmentations as boundary patterns over positions 0,1
+    # (position 2 always a boundary).
+    segs = {}
+    for b0 in (False, True):
+        for b1 in (False, True):
+            bounds = [b0, b1, True]
+            total, start = 0.0, 0
+            ok = True
+            for t, is_b in enumerate(bounds):
+                if is_b:
+                    w = t - start
+                    if w >= W or not np.isfinite(scores[t, w]):
+                        ok = False
+                        break
+                    total += scores[t, w]
+                    start = t + 1
+            if ok:
+                segs[(b0, b1)] = total
+    Z = sum(np.exp(v) for v in segs.values())
+    expected = {kk: np.exp(v) / Z for kk, v in segs.items()}
+
+    n = 8000
+    batch = jnp.asarray(np.repeat(scores[None], n, axis=0))
+    lengths = jnp.full((n,), N, dtype=jnp.int32)
+    _, bounds = segment_dp(batch, lengths, jax.random.PRNGKey(3),
+                           0.0, 1.0, n_slices_min=0, n_slices_max=W,
+                           mode="sample")
+    bounds = np.asarray(bounds)
+    for (b0, b1), pexp in expected.items():
+        frac = np.mean((bounds[:, 0] == b0) & (bounds[:, 1] == b1))
+        assert abs(frac - pexp) < 0.025, ((b0, b1), frac, pexp)
