@@ -361,13 +361,17 @@ class UnigramAcousticWordseg:
             fill = -1 if a.dtype in (jnp.int32, jnp.int64) else jnp.nan
             return jnp.pad(a, pad, constant_values=fill)
 
-        def assignment_chain(lo_b, params_b, embeds_b, key_b, temp):
+        # The chain consumes pre-drawn Gumbel noise so the XLA scan and the
+        # Pallas kernel sample bit-identical chains.
+        pallas_chain_ok = not full_cov and hasattr(prior, "var")
+
+        def assignment_chain(lo_b, params_b, embeds_b, gumb_b, temp):
             """Sequential within-utterance assignment resampling (reference
             gibbs_sample_inside_loop_i conditioning, fbgmm.py:422-463)."""
 
             def step(carry, inp):
                 stats_b, p_b = carry
-                e, key_s = inp
+                e, g = inp
                 ok = e >= 0
                 x = X[jnp.maximum(e, 0)]
                 if viterbi_assign:
@@ -384,16 +388,40 @@ class UnigramAcousticWordseg:
                 if viterbi_assign:
                     k = jnp.argmax(logits)
                 else:
-                    k = annealed_gumbel_max(key_s, logits, temp)
+                    k = jnp.argmax(jnp.where(
+                        jnp.isneginf(logits), NEG_INF, logits / temp + g
+                    ))
                 k = canonicalize_new_component(stats_b.counts, k)
                 stats_b = add_item(stats_b, x, k, full_cov=full_cov,
                                    weight=ok.astype(jnp.int32))
                 p_b = cov.update_predictive_row(prior, stats_b, p_b, k)
                 return (stats_b, p_b), jnp.where(ok, k.astype(jnp.int32), -1)
 
-            keys = jax.random.split(key_b, embeds_b.shape[0])
-            (_, _), ks = jax.lax.scan(step, (lo_b, params_b), (embeds_b, keys))
+            (_, _), ks = jax.lax.scan(step, (lo_b, params_b), (embeds_b, gumb_b))
             return ks
+
+        def run_chains(lo, params_b, new_embeds, k_assign, temp):
+            gumbel = jax.random.gumbel(
+                k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
+            )
+            if pallas_chain_ok:
+                from ..ops.pallas_chain import fixedvar_chain
+
+                return fixedvar_chain(
+                    new_embeds, X[jnp.maximum(new_embeds, 0)],
+                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    lo.counts, lo.sum_x,
+                    prior.var, prior.var_0, prior.mu_0, temp,
+                    alpha=alpha, K=K_max,
+                    lms=1.0 if viterbi_assign else lms,
+                    use_argmax=viterbi_assign,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            return jax.vmap(
+                lambda lo_b, p_b, e_b, g_b: assignment_chain(
+                    lo_b, p_b, e_b, g_b, temp
+                )
+            )(lo, params_b, new_embeds, gumbel)
 
         @jax.jit
         def sweep(stats, assignments, boundaries, key, blocks, anneal_temp,
@@ -455,12 +483,8 @@ class UnigramAcousticWordseg:
                 new_embeds, _ = gather_block_segments(
                     new_bounds, lengths_blk, seg_ids_blk
                 )
-                chain_keys = jax.random.split(k_assign, B)
-                new_ks = jax.vmap(
-                    lambda lo_b, p_b, e_b, kk: assignment_chain(
-                        lo_b, p_b, e_b, kk, assign_temp
-                    )
-                )(lo, params_b, new_embeds, chain_keys)
+                new_ks = run_chains(lo, params_b, new_embeds, k_assign,
+                                    assign_temp)
 
                 # 5. Merge block updates into the global state.
                 new_contrib = utterance_contrib(X, new_embeds, new_ks, K_max, full_cov)

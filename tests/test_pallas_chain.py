@@ -1,0 +1,89 @@
+"""Pallas assignment-chain kernel vs the XLA scan fallback.
+
+Both consume the same pre-drawn Gumbel noise, so the sampled chains must be
+identical (test technique #2 of the reference: vectorised-vs-unvectorised
+consistency, SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from segmentalist_tpu.models import components_fixedvar as cov
+from segmentalist_tpu.ops.pallas_chain import fixedvar_chain
+from segmentalist_tpu.ops.stats import (
+    SuffStats, add_item, canonicalize_new_component)
+from segmentalist_tpu.priors import FixedVarPrior
+
+
+def _xla_chain(X, lo, params, embeds, gumb, log_prior_vec, alpha, K, lms,
+               temp, use_argmax):
+    def step(carry, inp):
+        stats_b, p_b = carry
+        e, g = inp
+        ok = e >= 0
+        x = X[jnp.maximum(e, 0)]
+        c = stats_b.counts.astype(X.dtype)
+        w = lms * jnp.log(alpha / K + c)
+        post = cov.log_post_pred(p_b, x)
+        logits = w + jnp.where(stats_b.counts > 0, post,
+                               log_prior_vec[jnp.maximum(e, 0)])
+        if use_argmax:
+            k = jnp.argmax(logits)
+        else:
+            k = jnp.argmax(jnp.where(jnp.isneginf(logits), -jnp.inf,
+                                     logits / temp + g))
+        k = canonicalize_new_component(stats_b.counts, k)
+        stats_b = add_item(stats_b, x, k, weight=ok.astype(jnp.int32))
+        p_b = cov.update_predictive_row(prior_g, stats_b, p_b, k)
+        return (stats_b, p_b), jnp.where(ok, k.astype(jnp.int32), -1)
+
+    (_, _), ks = jax.lax.scan(step, (lo, params), (embeds, gumb))
+    return ks
+
+
+def test_pallas_chain_matches_xla_scan():
+    global prior_g
+    rng = np.random.RandomState(0)
+    B, S, D, K = 5, 7, 4, 10
+    N = 64
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior_g = FixedVarPrior.create(
+        0.1 * np.ones(D, np.float32), np.zeros(D, np.float32),
+        np.ones(D, np.float32))
+    assignments = rng.randint(-1, K, N)
+    counts = np.zeros((B, K), np.int32)
+    sum_x = np.zeros((B, K, D), np.float32)
+    # Independent random leave-out stats per utterance.
+    for b in range(B):
+        for i in range(N):
+            if rng.rand() < 0.7 and assignments[i] >= 0:
+                counts[b, assignments[i]] += 1
+                sum_x[b, assignments[i]] += np.asarray(X[i])
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    embeds[rng.rand(B, S) < 0.3] = -1
+    gumb = np.asarray(
+        jax.random.gumbel(jax.random.PRNGKey(1), (B, S, K))
+    ).astype(np.float32)
+    lpv = cov.log_prior_batch(prior_g, X)
+    alpha, lms, temp = 1.0, 1.2, 0.7
+
+    for use_argmax in (False, True):
+        ks_ref = []
+        for b in range(B):
+            lo = SuffStats(jnp.asarray(counts[b]), jnp.asarray(sum_x[b]),
+                           jnp.zeros((K, D), jnp.float32))
+            params = cov.predictive_params(prior_g, lo)
+            ks_ref.append(np.asarray(_xla_chain(
+                X, lo, params, jnp.asarray(embeds[b]), jnp.asarray(gumb[b]),
+                lpv, alpha, K, 1.0 if use_argmax else lms,
+                jnp.float32(temp), use_argmax)))
+        ks_pal = fixedvar_chain(
+            jnp.asarray(embeds), X[jnp.maximum(jnp.asarray(embeds), 0)],
+            lpv[jnp.maximum(jnp.asarray(embeds), 0)], jnp.asarray(gumb),
+            jnp.asarray(counts), jnp.asarray(sum_x),
+            prior_g.var, prior_g.var_0, prior_g.mu_0, jnp.float32(temp),
+            alpha=alpha, K=K, lms=1.0 if use_argmax else lms,
+            use_argmax=use_argmax, interpret=True)
+        npt.assert_array_equal(np.asarray(ks_pal), np.stack(ks_ref),
+                               err_msg=f"use_argmax={use_argmax}")
