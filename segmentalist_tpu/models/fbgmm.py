@@ -167,14 +167,17 @@ class FBGMM:
         """log p(X, z) (reference ``log_marg``, fbgmm.py:231-253)."""
         return self.log_prob_z() + self.log_prob_X_given_z()
 
-    def sweep_metrics(self) -> dict:
-        """All per-iteration record statistics in ONE fused device call.
+    def sweep_metrics_device(self):
+        """Enqueue all per-iteration record statistics as ONE device call and
+        return the (unfetched) device tuple.
 
         Computes the reference record_dict quantities (``fbgmm.py:322-330``,
         ``unigram_acoustic_wordseg.py:423-432``) -- log_prob_z,
-        log_prob_X_given_z, log_marg, active K, n_assigned, n_tokens -- in a
-        single jitted program with a single small host transfer, instead of
-        four eager computations per iteration.
+        log_prob_X_given_z, active K, n_assigned, n_tokens.  Returning
+        device values keeps the sampling loop fully asynchronous: on a
+        remote-attached TPU every synchronous fetch costs a full RPC
+        round-trip, so callers batch-fetch after the last sweep
+        (``metrics_to_dict``).
         """
         key = ("metrics", self.K_max)
         if key not in self._jit_cache:
@@ -191,9 +194,12 @@ class FBGMM:
                 )
 
             self._jit_cache[key] = metrics
-        lpz, lpx, k_act, n_assigned, n_tokens = jax.device_get(
-            self._jit_cache[key](self.stats, self.assignments)
-        )
+        return self._jit_cache[key](self.stats, self.assignments)
+
+    @staticmethod
+    def metrics_to_dict(fetched) -> dict:
+        """Convert one fetched ``sweep_metrics_device`` tuple to a dict."""
+        lpz, lpx, k_act, n_assigned, n_tokens = fetched
         return {
             "log_prob_z": float(lpz),
             "log_prob_X_given_z": float(lpx),
@@ -202,6 +208,10 @@ class FBGMM:
             "n_assigned": int(n_assigned),
             "n_tokens": int(n_tokens),
         }
+
+    def sweep_metrics(self) -> dict:
+        """Synchronous convenience wrapper around ``sweep_metrics_device``."""
+        return self.metrics_to_dict(jax.device_get(self.sweep_metrics_device()))
 
     def log_marg_i(self, i: int) -> float:
         """Collapsed marginal of one *held-out* vector (reference
@@ -315,21 +325,32 @@ class FBGMM:
                    "log_prob_X_given_z", "anneal_temp", "components")}
         sweep = self._get_sweep_fn(mode, consider_unassigned)
 
+        # Asynchronous loop: enqueue every sweep + its metrics, fetch once
+        # (a per-iteration sync costs an RPC round-trip on remote TPUs).
+        pending = []
         start = time.time()
         for i_iter in range(n_iter):
             temp = float(temps[i_iter])
             self.stats, self.assignments, self.key = sweep(
-                self.stats, self.assignments, self.key, jnp.asarray(temp)
+                self.stats, self.assignments, self.key,
+                np.asarray(temp, dtype=self.X.dtype),
             )
-            jax.block_until_ready(self.assignments)
-            record["sample_time"].append(time.time() - start)
-            start = time.time()
-            m = self.sweep_metrics()
+            pending.append((time.time(), temp, self.sweep_metrics_device()))
+
+        fetched = jax.device_get([m for _, _, m in pending])
+        prev_t = start
+        for (t_disp, temp, _), m_tuple in zip(pending, fetched):
+            m = self.metrics_to_dict(m_tuple)
+            record["sample_time"].append(t_disp - prev_t)
+            prev_t = t_disp
             record["log_marg"].append(m["log_marg"])
             record["log_prob_z"].append(m["log_prob_z"])
             record["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
             record["anneal_temp"].append(temp)
             record["components"].append(m["components"])
+        total = time.time() - start
+        if record["sample_time"]:
+            record["sample_time"][-1] += total - sum(record["sample_time"])
         return record
 
     def _get_sweep_fn(self, mode: str, consider_unassigned: bool):

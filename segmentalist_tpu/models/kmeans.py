@@ -99,6 +99,7 @@ class KMeans:
             self.X, jnp.asarray(assignments, jnp.int32), self.K_max
         )
         self._fit_step = None
+        self._metrics_fn = None
 
     # ----------------------------------------------------------------- query
 
@@ -136,6 +137,23 @@ class KMeans:
 
     def sum_neg_sqrd_norm(self) -> float:
         return float(sum_neg_sqrd_norm(self.X, self.state, self.random_means))
+
+    def sweep_metrics_device(self):
+        """Enqueue (objective, active K, n_assigned) as one fused device call
+        (async record-loop counterpart of ``FBGMM.sweep_metrics_device``)."""
+        if not hasattr(self, "_metrics_fn") or self._metrics_fn is None:
+            X = self.X
+
+            @jax.jit
+            def metrics(state, random_means):
+                return (
+                    sum_neg_sqrd_norm(X, state, random_means),
+                    jnp.sum((state.counts > 0).astype(jnp.int32)),
+                    jnp.sum((state.assignments >= 0).astype(jnp.int32)),
+                )
+
+            self._metrics_fn = metrics
+        return self._metrics_fn(self.state, self.random_means)
 
     # ------------------------------------------------------------------- fit
 

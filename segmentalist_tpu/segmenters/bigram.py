@@ -222,6 +222,39 @@ class BigramAcousticWordseg:
             self._log_prob_z_fn = self._build_log_prob_z_fn()
         return float(self._log_prob_z_fn(self._all_transcripts()))
 
+    def sweep_metrics_device(self):
+        """Enqueue (log_prob_z, log_prob_X_given_z, K, n_assigned) as one
+        fused device call (async record loop, cf. FBGMM.sweep_metrics_device).
+        """
+        if getattr(self, "_metrics_fn", None) is None:
+            am = self.acoustic_model
+            cov, prior, K_max = am.cov, am.prior, am.K_max
+            utt = self.utterances
+            seg_ids, lengths = utt.seg_ids, utt.lengths_dev
+            if self._log_prob_z_fn is None:
+                self._log_prob_z_fn = self._build_log_prob_z_fn()
+            lpz_fn = self._log_prob_z_fn
+            from .common import gather_segment_embeds
+
+            @jax.jit
+            def metrics(stats, assignments, boundaries):
+                segs = segments_from_boundaries(boundaries, lengths)
+                embeds = gather_segment_embeds(segs, seg_ids)
+                ks = jnp.where(
+                    embeds >= 0, assignments[jnp.maximum(embeds, 0)], -1
+                )
+                lpz = lpz_fn(ks)
+                lpx = cov.log_marg(prior, stats)
+                return (
+                    lpz, lpx,
+                    jnp.sum((stats.counts > 0).astype(jnp.int32)),
+                    jnp.sum((assignments >= 0).astype(jnp.int32)),
+                )
+
+            self._metrics_fn = metrics
+        am = self.acoustic_model
+        return self._metrics_fn(am.stats, am.assignments, self._boundaries_dev)
+
     def log_marg(self) -> float:
         return self.log_prob_z() + self.acoustic_model.log_prob_X_given_z()
 
@@ -278,29 +311,40 @@ class BigramAcousticWordseg:
         record = {k: [] for k in (
             "sample_time", "log_marg", "log_marg*length", "log_prob_z",
             "log_prob_X_given_z", "anneal_temp", "components", "n_tokens")}
+        # Asynchronous record loop; one batched fetch at the end.
+        pending = []
+        start = time.time()
         for i_iter in range(n_iter):
-            start = time.time()
             temp = float(temps[i_iter])
             order = self._rng.permutation(self.utterances.D)
-            blocks = np.asarray(
-                pad_utterance_order(jnp.asarray(order), self.batch_size)
-            )
-            log_prob = self._run_blocks(blocks, temp, anneal_gibbs_am,
-                                        assignments_only)
-            record["sample_time"].append(time.time() - start)
-            record["log_marg"].append(self.log_marg())
-            record["log_marg*length"].append(log_prob)
-            record["log_prob_z"].append(self.log_prob_z())
-            record["log_prob_X_given_z"].append(
-                self.acoustic_model.log_prob_X_given_z()
-            )
+            blocks = pad_utterance_order(order, self.batch_size)
+            log_prob_dev = self._run_blocks_async(blocks, temp,
+                                                  anneal_gibbs_am,
+                                                  assignments_only)
+            pending.append((time.time(), temp, log_prob_dev,
+                            self.sweep_metrics_device()))
+        fetched = jax.device_get([(lp, m) for _, _, lp, m in pending])
+        prev_t = start
+        for i_iter, ((t_disp, temp, _, _),
+                     (log_prob, (lpz, lpx, k_act, n_tok))) in enumerate(
+            zip(pending, fetched)
+        ):
+            record["sample_time"].append(t_disp - prev_t)
+            prev_t = t_disp
+            record["log_marg"].append(float(lpz) + float(lpx))
+            record["log_marg*length"].append(float(log_prob))
+            record["log_prob_z"].append(float(lpz))
+            record["log_prob_X_given_z"].append(float(lpx))
             record["anneal_temp"].append(temp)
-            record["components"].append(self.acoustic_model.K)
-            record["n_tokens"].append(self.acoustic_model.get_n_assigned())
+            record["components"].append(int(k_act))
+            record["n_tokens"].append(int(n_tok))
             info = "iteration: " + str(i_iter)
             for k in sorted(record):
                 info += ", " + k + ": " + str(record[k][-1])
             logger.info(info)
+        total = time.time() - start
+        if record["sample_time"]:
+            record["sample_time"][-1] += total - sum(record["sample_time"])
         return record
 
     # ------------------------------------------------------------ internals
@@ -310,6 +354,11 @@ class BigramAcousticWordseg:
 
     def _run_blocks(self, blocks, anneal_temp, anneal_gibbs_am,
                     assignments_only) -> float:
+        return float(self._run_blocks_async(blocks, anneal_temp,
+                                            anneal_gibbs_am, assignments_only))
+
+    def _run_blocks_async(self, blocks, anneal_temp, anneal_gibbs_am,
+                          assignments_only):
         am = self.acoustic_model
         sweep = self._get_sweep_fn(bool(assignments_only))
         log_p_continue = math.log(self.calc_p_continue())
@@ -321,11 +370,11 @@ class BigramAcousticWordseg:
          am.key, log_prob) = sweep(
             am.stats, am.assignments, self._boundaries_dev, self.lm.state,
             am.key, blocks_dev,
-            jnp.asarray(anneal_temp, dtype=am.X.dtype),
-            jnp.asarray(assign_temp, dtype=am.X.dtype),
-            jnp.asarray(log_p_continue, dtype=am.X.dtype),
+            np.asarray(anneal_temp, dtype=am.X.dtype),
+            np.asarray(assign_temp, dtype=am.X.dtype),
+            np.asarray(log_p_continue, dtype=am.X.dtype),
         )
-        return float(log_prob)
+        return log_prob
 
     def _get_sweep_fn(self, assignments_only: bool):
         if self._sweep_fn is None:

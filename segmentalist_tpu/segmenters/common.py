@@ -194,16 +194,23 @@ def place_blocks(blocks, mesh, axis_name: str = "data"):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    blocks = jnp.asarray(blocks)
     if mesh is None:
-        return blocks
-    return jax.device_put(blocks, NamedSharding(mesh, P(None, axis_name)))
+        return blocks  # numpy; the jitted sweep transfers it with its args
+    return jax.device_put(jnp.asarray(blocks),
+                          NamedSharding(mesh, P(None, axis_name)))
 
 
 def pad_utterance_order(order, batch_size: int):
-    """Pad a [U] permutation to a multiple of ``batch_size`` with -1."""
+    """Pad a [U] permutation to a multiple of ``batch_size`` with -1.
+
+    Pure numpy: this is per-sweep host-side prep, and eager device ops cost
+    a full RPC round-trip each on a remote-attached TPU.
+    """
+    import numpy as np
+
+    order = np.asarray(order)
     U = order.shape[0]
     n_blocks = -(-U // batch_size)
     pad = n_blocks * batch_size - U
-    order = jnp.concatenate([order, jnp.full((pad,), -1, order.dtype)])
+    order = np.concatenate([order, np.full((pad,), -1, order.dtype)])
     return order.reshape(n_blocks, batch_size)

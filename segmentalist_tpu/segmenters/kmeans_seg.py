@@ -159,28 +159,38 @@ class SegmentalKMeansWordseg:
         record = {k: [] for k in (
             "sum_neg_sqrd_norm", "sum_neg_len_sqrd_norm", "components",
             "sample_time", "n_tokens")}
+        # Asynchronous record loop (one batched fetch at the end) unless
+        # in-between k-means iterations force a sync each sweep.
+        pending = []
+        start = time.time()
         for i_iter in range(n_iter):
-            start = time.time()
             order = self._rng.permutation(self.utterances.D)
-            blocks = np.asarray(
-                pad_utterance_order(jnp.asarray(order), self.batch_size)
-            )
-            sum_neg_len_sqrd_norm = self._run_blocks(blocks)
-            record["sample_time"].append(time.time() - start)
-            record["sum_neg_sqrd_norm"].append(
-                self.acoustic_model.sum_neg_sqrd_norm()
-            )
-            record["sum_neg_len_sqrd_norm"].append(sum_neg_len_sqrd_norm)
-            record["components"].append(self.acoustic_model.K)
-            record["n_tokens"].append(self.acoustic_model.get_n_assigned())
-            info = "iteration: " + str(i_iter)
-            for k in sorted(record):
-                info += ", " + k + ": " + str(record[k][-1])
-            logger.info(info)
+            blocks = pad_utterance_order(order, self.batch_size)
+            obj_dev = self._run_blocks_async(blocks)
+            pending.append((time.time(), obj_dev,
+                            self.acoustic_model.sweep_metrics_device()))
             if n_iter_inbetween_kmeans > 0:
                 self.acoustic_model.fit(
                     n_iter_inbetween_kmeans, consider_unassigned=False
                 )
+        fetched = jax.device_get([(o, m) for _, o, m in pending])
+        prev_t = start
+        for i_iter, ((t_disp, _, _), (obj, (snn, k_act, n_tok))) in enumerate(
+            zip(pending, fetched)
+        ):
+            record["sample_time"].append(t_disp - prev_t)
+            prev_t = t_disp
+            record["sum_neg_sqrd_norm"].append(float(snn))
+            record["sum_neg_len_sqrd_norm"].append(float(obj))
+            record["components"].append(int(k_act))
+            record["n_tokens"].append(int(n_tok))
+            info = "iteration: " + str(i_iter)
+            for k in sorted(record):
+                info += ", " + k + ": " + str(record[k][-1])
+            logger.info(info)
+        total = time.time() - start
+        if record["sample_time"]:
+            record["sample_time"][-1] += total - sum(record["sample_time"])
         return record
 
     # ------------------------------------------------------------ internals
@@ -189,6 +199,9 @@ class SegmentalKMeansWordseg:
         self.utterances.set_boundaries_from_device(self._boundaries_dev)
 
     def _run_blocks(self, blocks: np.ndarray) -> float:
+        return float(self._run_blocks_async(blocks))
+
+    def _run_blocks_async(self, blocks: np.ndarray):
         am = self.acoustic_model
         sweep = self._get_sweep_fn()
         self._key, sub = jax.random.split(self._key)
@@ -198,7 +211,7 @@ class SegmentalKMeansWordseg:
         am.state, self._boundaries_dev, obj = sweep(
             am.state, am.random_means, self._boundaries_dev, blocks_dev, sub,
         )
-        return float(obj)
+        return obj
 
     def _get_sweep_fn(self):
         if self._sweep_fn is None:

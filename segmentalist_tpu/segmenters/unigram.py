@@ -276,22 +276,33 @@ class UnigramAcousticWordseg:
             "sample_time", "log_marg", "log_marg*length", "log_prob_z",
             "log_prob_X_given_z", "anneal_temp", "components", "n_tokens")}
 
+        # Fully asynchronous loop: every sweep and its metrics are enqueued
+        # without a host sync (a sync costs a full RPC round-trip on a
+        # remote-attached TPU); everything is fetched in one batch at the end.
+        pending = []
+        start = time.time()
         for i_iter in range(n_iter):
-            start = time.time()
             if am_n_iter > 0:
                 self.acoustic_model.gibbs_sample(
                     am_n_iter, consider_unassigned=False
                 )
             temp = float(temps[i_iter])
             order = self._rng.permutation(self.utterances.D)
-            blocks = np.asarray(
-                pad_utterance_order(jnp.asarray(order), self.batch_size)
-            )
-            log_prob = self._run_blocks(blocks, temp, anneal_gibbs_am)
-            m = self.acoustic_model.sweep_metrics()
-            record["sample_time"].append(time.time() - start)
+            blocks = pad_utterance_order(order, self.batch_size)
+            log_prob_dev = self._run_blocks_async(blocks, temp, anneal_gibbs_am)
+            metrics_dev = self.acoustic_model.sweep_metrics_device()
+            pending.append((time.time(), temp, log_prob_dev, metrics_dev))
+
+        fetched = jax.device_get([(lp, m) for _, _, lp, m in pending])
+        prev_t = start
+        for i_iter, ((t_disp, temp, _, _), (log_prob, m_tuple)) in enumerate(
+            zip(pending, fetched)
+        ):
+            m = self.acoustic_model.metrics_to_dict(m_tuple)
+            record["sample_time"].append(t_disp - prev_t)
+            prev_t = t_disp
             record["log_marg"].append(m["log_marg"])
-            record["log_marg*length"].append(log_prob)
+            record["log_marg*length"].append(float(log_prob))
             record["log_prob_z"].append(m["log_prob_z"])
             record["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
             record["anneal_temp"].append(temp)
@@ -301,6 +312,11 @@ class UnigramAcousticWordseg:
             for k in sorted(record):
                 info += ", " + k + ": " + str(record[k][-1])
             logger.info(info)
+        # Dispatch-side timestamps under-measure when the device runs behind;
+        # fold the total wall time into the last entry so the sum is honest.
+        total = time.time() - start
+        if record["sample_time"]:
+            record["sample_time"][-1] += total - sum(record["sample_time"])
         return record
 
     def segment(self, *args, **kwargs):  # pragma: no cover - convenience alias
@@ -310,6 +326,11 @@ class UnigramAcousticWordseg:
 
     def _run_blocks(self, blocks: np.ndarray, anneal_temp: float,
                     anneal_gibbs_am: bool) -> float:
+        return float(self._run_blocks_async(blocks, anneal_temp,
+                                            anneal_gibbs_am))
+
+    def _run_blocks_async(self, blocks: np.ndarray, anneal_temp: float,
+                          anneal_gibbs_am: bool):
         am = self.acoustic_model
         sweep = self._get_sweep_fn()
         log_p_continue = math.log(self.calc_p_continue())
@@ -319,11 +340,11 @@ class UnigramAcousticWordseg:
         blocks_dev = place_blocks(blocks, getattr(self, "_mesh", None))
         (am.stats, am.assignments, self._boundaries_dev, am.key, log_prob) = sweep(
             am.stats, am.assignments, self._boundaries_dev, am.key,
-            blocks_dev, jnp.asarray(anneal_temp, dtype=am.X.dtype),
-            jnp.asarray(assign_temp, dtype=am.X.dtype),
-            jnp.asarray(log_p_continue, dtype=am.X.dtype),
+            blocks_dev, np.asarray(anneal_temp, dtype=am.X.dtype),
+            np.asarray(assign_temp, dtype=am.X.dtype),
+            np.asarray(log_p_continue, dtype=am.X.dtype),
         )
-        return float(log_prob)
+        return log_prob
 
     def _sync_boundaries_to_host(self):
         self.utterances.set_boundaries_from_device(self._boundaries_dev)
