@@ -24,10 +24,16 @@ import time
 import numpy as np
 
 # Persistent XLA compile cache: repeated bench runs skip the slow (minutes,
-# remote-tunnel) TPU compile.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# remote-tunnel) TPU compile.  The sandbox's sitecustomize imports jax before
+# this module, so the env var alone is too late -- set it via the config.
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 # --------------------------------------------------------------------------

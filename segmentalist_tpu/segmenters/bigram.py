@@ -37,10 +37,11 @@ from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, annealed_gumbel_max, logsumexp
 from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
+    flat_contrib,
     gather_block_segments,
     leave_out_stats,
     masked_candidate_scores,
-    merge_contribs,
+    merge_flat,
     pad_utterance_order,
     segments_from_boundaries,
     utterance_contrib,
@@ -582,10 +583,11 @@ class BigramAcousticWordseg:
                     )
                 )(lo, params_b, uni_lo, pj, pi, new_embeds, chain_keys)
 
-                # Merge acoustic stats / assignments / boundaries.
-                new_contrib = utterance_contrib(X, new_embeds, new_ks, K_max,
-                                                full_cov)
-                stats = merge_contribs(stats, old_contrib, new_contrib, valid)
+                # Merge acoustic stats / assignments / boundaries (one flat
+                # scatter for the new contributions).
+                new_flat_contrib = flat_contrib(X, new_embeds, new_ks, K_max,
+                                                full_cov, valid)
+                stats = merge_flat(stats, old_contrib, new_flat_contrib, valid)
                 vmask = valid[:, None]
                 oob = assignments.shape[0]
                 old_flat = jnp.where(

@@ -56,32 +56,25 @@ def segments_from_boundaries(boundaries: Array, lengths: Array) -> Segments:
     """Decode the boundary matrix into ordered segment (end, length) pairs.
 
     Device equivalent of the reference ``get_segmented_landmark_indices``
-    (``utterances.py:206-216``), vmapped over the batch.
+    (``utterances.py:206-216``).  Fully parallel: the s-th boundary position
+    is found by a cumulative count + scatter instead of a sequential scan
+    over landmark positions.
     """
     B, N_max = boundaries.shape
-
-    def one(brow, length):
-        def step(carry, t):
-            j_prev, s_idx, ends, ws = carry
-            is_b = brow[t] & (t < length)
-            ends = ends.at[s_idx].set(jnp.where(is_b, t, ends[s_idx]))
-            ws = ws.at[s_idx].set(jnp.where(is_b, t - j_prev, ws[s_idx]))
-            j_prev = jnp.where(is_b, t + 1, j_prev)
-            s_idx = s_idx + is_b.astype(jnp.int32)
-            return (j_prev, s_idx, ends, ws), None
-
-        init = (
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.full((N_max,), -1, jnp.int32),
-            jnp.zeros((N_max,), jnp.int32),
-        )
-        (j_prev, n, ends, ws), _ = jax.lax.scan(
-            step, init, jnp.arange(N_max, dtype=jnp.int32)
-        )
-        return ends, ws, n
-
-    ends, ws, n = jax.vmap(one)(boundaries, lengths)
+    t_grid = jnp.arange(N_max, dtype=jnp.int32)[None, :]
+    is_b = boundaries & (t_grid < lengths[:, None])
+    csum = jnp.cumsum(is_b.astype(jnp.int32), axis=1)
+    n = csum[:, -1] if N_max > 0 else jnp.zeros((B,), jnp.int32)
+    # Scatter boundary position t into segment slot csum[t] - 1.
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    cols = jnp.where(is_b, csum - 1, N_max)  # N_max = dropped
+    ends = jnp.full((B, N_max + 1), -1, jnp.int32).at[
+        rows, cols
+    ].set(jnp.broadcast_to(t_grid, (B, N_max)), mode="drop")[:, :N_max]
+    prev_ends = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), ends[:, :-1]], axis=1
+    )
+    ws = jnp.where(ends >= 0, ends - prev_ends - 1, 0)
     return Segments(ends=ends, ws=ws, n=n)
 
 
@@ -145,6 +138,42 @@ def leave_out_stats(global_stats: SuffStats, contrib: SuffStats) -> SuffStats:
         counts=global_stats.counts[None] - contrib.counts,
         sum_x=global_stats.sum_x[None] - contrib.sum_x,
         sum_sq=global_stats.sum_sq[None] - contrib.sum_sq,
+    )
+
+
+def flat_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
+                 full_cov: bool, valid: Array) -> SuffStats:
+    """Summed sufficient-statistic contribution of all (utterance, segment)
+    pairs in a block: one flat ``segment_sum`` over B*S items instead of
+    materialising per-utterance [B, K, ...] tensors."""
+    ok = (embeds >= 0) & (ks >= 0) & valid[:, None]
+    seg = jnp.where(ok, ks, K_max).reshape(-1)
+    x = X[jnp.maximum(embeds, 0).reshape(-1)]
+    x = jnp.where(ok.reshape(-1)[:, None], x, 0.0)
+    counts = jax.ops.segment_sum(
+        ok.astype(jnp.int32).reshape(-1), seg, num_segments=K_max + 1
+    )[:-1]
+    sum_x = jax.ops.segment_sum(x, seg, num_segments=K_max + 1)[:-1]
+    sum_sq = jax.ops.segment_sum(
+        item_sq(x, full_cov), seg, num_segments=K_max + 1
+    )[:-1]
+    return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
+
+
+def merge_flat(global_stats: SuffStats, old: SuffStats, new_flat: SuffStats,
+               valid: Array) -> SuffStats:
+    """global += new_flat - sum_b valid_b * old_b  (old is per-utterance)."""
+    v = valid.astype(global_stats.sum_x.dtype)
+    vi = valid.astype(jnp.int32)
+
+    def old_sum(a, w):
+        return jnp.sum(a * w.reshape((-1,) + (1,) * (a.ndim - 1)), axis=0)
+
+    return SuffStats(
+        counts=(global_stats.counts + new_flat.counts
+                - old_sum(old.counts, vi)).astype(global_stats.counts.dtype),
+        sum_x=global_stats.sum_x + new_flat.sum_x - old_sum(old.sum_x, v),
+        sum_sq=global_stats.sum_sq + new_flat.sum_sq - old_sum(old.sum_sq, v),
     )
 
 

@@ -35,10 +35,11 @@ from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, annealed_gumbel_max, logsumexp
 from ..ops.stats import SuffStats, add_item, canonicalize_new_component
 from .common import (
+    flat_contrib,
     gather_block_segments,
     leave_out_stats,
     masked_candidate_scores,
-    merge_contribs,
+    merge_flat,
     pad_utterance_order,
     utterance_contrib,
 )
@@ -507,9 +508,12 @@ class UnigramAcousticWordseg:
                 new_ks = run_chains(lo, params_b, new_embeds, k_assign,
                                     assign_temp)
 
-                # 5. Merge block updates into the global state.
-                new_contrib = utterance_contrib(X, new_embeds, new_ks, K_max, full_cov)
-                stats = merge_contribs(stats, old_contrib, new_contrib, valid)
+                # 5. Merge block updates into the global state (one flat
+                # scatter for the new contributions).
+                new_flat_contrib = flat_contrib(
+                    X, new_embeds, new_ks, K_max, full_cov, valid
+                )
+                stats = merge_flat(stats, old_contrib, new_flat_contrib, valid)
 
                 # Scatter with an out-of-bounds sentinel + mode="drop" so
                 # masked entries never write (negative indices would wrap).
