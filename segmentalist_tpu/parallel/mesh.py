@@ -49,7 +49,7 @@ def shard_segmenter(seg, mesh: Mesh, axis_name: str = "data"):
     n = mesh.devices.size
     if seg.batch_size % n != 0:
         seg.batch_size = int(np.ceil(seg.batch_size / n) * n)
-        seg._sweep_fn = None  # rebuild with the new static block size
+    seg._sweep_fn = None  # rebuild: block size and/or pallas gating changed
 
     shard_u = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())

@@ -444,6 +444,7 @@ class BigramAcousticWordseg:
         tpt = self.time_power_term
         wip = self.wip
         B = self.batch_size
+        on_mesh = getattr(self, "_mesh", None) is not None
         lam, a, b, K_lm = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         assert K_lm == K_max
 
@@ -565,6 +566,7 @@ class BigramAcousticWordseg:
                     log_prob, new_bounds = dp_ops.segment_dp(
                         scores, lengths_blk, k_dp, log_p_continue, anneal_temp,
                         n_slices_min=n_min, n_slices_max=W_dp, mode="sample",
+                        use_pallas=False if on_mesh else None,
                     )
                     new_embeds, _ = gather_block_segments(
                         new_bounds, lengths_blk, seg_ids_blk

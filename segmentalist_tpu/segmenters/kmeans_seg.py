@@ -232,6 +232,7 @@ class SegmentalKMeansWordseg:
         n_min = self.n_slices_min
         wip = self.wip
         B = self.batch_size
+        on_mesh = getattr(self, "_mesh", None) is not None
 
         def dp_slice(a):
             if W_store >= W_dp:
@@ -276,6 +277,7 @@ class SegmentalKMeansWordseg:
                 obj, new_bounds = dp_ops.segment_dp(
                     scores, lengths_blk, k_dp, 0.0, 1.0,
                     n_slices_min=n_min, n_slices_max=W_dp, mode="viterbi",
+                    use_pallas=False if on_mesh else None,
                 )
 
                 # Argmax re-assignment with the frozen means (:436-442).

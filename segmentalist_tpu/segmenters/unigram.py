@@ -384,8 +384,11 @@ class UnigramAcousticWordseg:
             return jnp.pad(a, pad, constant_values=fill)
 
         # The chain consumes pre-drawn Gumbel noise so the XLA scan and the
-        # Pallas kernel sample bit-identical chains.
-        pallas_chain_ok = not full_cov and hasattr(prior, "var")
+        # Pallas kernel sample bit-identical chains.  Under a multi-chip mesh
+        # the XLA paths are used: GSPMD cannot partition pallas_call inside
+        # plain jit (use shard_map for per-chip kernels; see parallel/).
+        on_mesh = getattr(self, "_mesh", None) is not None
+        pallas_chain_ok = not full_cov and hasattr(prior, "var") and not on_mesh
 
         def assignment_chain(lo_b, params_b, embeds_b, gumb_b, temp):
             """Sequential within-utterance assignment resampling (reference
@@ -498,6 +501,7 @@ class UnigramAcousticWordseg:
                 log_prob, new_bounds = dp_ops.segment_dp(
                     scores, lengths_blk, k_dp, log_p_continue, anneal_temp,
                     n_slices_min=n_min, n_slices_max=W_dp, mode=dp_mode,
+                    use_pallas=False if on_mesh else None,
                 )
 
                 # 4. Sequential assignment of the new segments

@@ -199,3 +199,33 @@ def test_record_dict_keys_match_reference():
         "sample_time", "log_marg", "log_marg*length", "log_prob_z",
         "log_prob_X_given_z", "anneal_temp", "components", "n_tokens",
     }
+
+
+def test_unigram_segmenter_full_and_diag_covariance():
+    """The segmenter composes with the full-NIW and diagonal component
+    backends (BASELINE.json config #4); fixed-var is covered above."""
+    import jax.numpy as jnp
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.utils.synth import synthetic_corpus
+
+    em, vi, du, lm, _ = synthetic_corpus(
+        n_utterances=6, n_landmarks_max=5, D=3, K_true=2, n_slices_max=3,
+        seed=9)
+    for cov_type in ("full", "diag"):
+        if cov_type == "full":
+            prior = NIW.create(np.zeros(3), 0.5, 6.0, 0.5 * np.eye(3))
+        else:
+            prior = NIW.create(np.zeros(3), 0.5, 3.0, 0.5 * np.ones(3))
+        np.random.seed(9)
+        seg = UnigramAcousticWordseg(
+            FBGMM, am_alpha=1.0, am_K=5, am_param_prior=prior,
+            embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+            landmarks_dict=lm, covariance_type=cov_type,
+            p_boundary_init=0.5, beta_sent_boundary=-1, n_slices_max=3,
+            batch_size=3, seed=9)
+        record = seg.gibbs_sample(3)
+        assert np.isfinite(record["log_marg"]).all(), (cov_type, record)
+        assert record["log_marg"][-1] >= record["log_marg"][0] - 50.0
+        for i in range(seg.utterances.D):
+            tr = seg.get_unsup_transcript_i(i)
+            assert all(k >= 0 for k in tr), (cov_type, i, tr)
