@@ -472,6 +472,14 @@ class BigramAcousticWordseg:
             uni_prob = (uni_lo_b.astype(X.dtype) + a / K_max) / (
                 jnp.sum(uni_lo_b.astype(X.dtype)) + a
             )
+            # One-hot table of the utterance's own OLD bigram successors,
+            # built once; the per-step correction is then a [1,S]x[S,K]
+            # matvec instead of an [S,K] mask rebuild.
+            onehot_pi = (
+                jax.nn.one_hot(jnp.maximum(big_corr_i, 0), K_max,
+                               dtype=X.dtype)
+                * (big_corr_i >= 0).astype(X.dtype)[:, None]
+            )  # [S, K]
 
             def step(carry, inp):
                 stats_b, p_b, j_prev = carry
@@ -481,17 +489,8 @@ class BigramAcousticWordseg:
                 # Bigram row with own-count corrections.
                 j_s = jnp.maximum(j_prev, 0)
                 row = big_table[j_s].astype(X.dtype)
-                corr = jnp.sum(
-                    jnp.where(
-                        (big_corr_j == j_s)[:, None]
-                        & (big_corr_i >= 0)[:, None]
-                        & (jnp.arange(K_max)[None, :]
-                           == jnp.maximum(big_corr_i, 0)[:, None]),
-                        1.0, 0.0,
-                    ).astype(X.dtype),
-                    axis=0,
-                )
-                row = row - corr
+                sel = (big_corr_j == j_s).astype(X.dtype)
+                row = row - sel @ onehot_pi
                 uni_j = uni_lo_b[j_s].astype(X.dtype)
                 p_cond = lam * uni_prob + (1.0 - lam) * (row + b / K_max) / (
                     uni_j + b

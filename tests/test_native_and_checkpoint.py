@@ -119,3 +119,33 @@ def test_checkpoint_roundtrip(tmp_path):
     # Restored state continues sampling normally.
     rec = seg.gibbs_sample(1)
     assert np.isfinite(rec["log_marg"][-1])
+
+
+def test_checkpoint_roundtrip_bigram_lm_state(tmp_path):
+    """Bigram driver checkpoints include the LM count tables."""
+    from segmentalist_tpu.priors import FixedVarPrior
+    from segmentalist_tpu.segmenters.bigram import BigramAcousticWordseg
+    from segmentalist_tpu.utils import checkpoint as ckpt
+    from segmentalist_tpu.utils.synth import synthetic_corpus
+
+    em, vi, du, lm, _ = synthetic_corpus(
+        n_utterances=6, n_landmarks_max=5, D=3, K_true=2, n_slices_max=3,
+        seed=11)
+    prior = FixedVarPrior.create(0.05 * np.ones(3), np.zeros(3), np.ones(3))
+    np.random.seed(11)
+    seg = BigramAcousticWordseg(
+        am_K=5, am_param_prior=prior,
+        lm_params={"type": "smooth", "intrp_lambda": 0.1, "a": 1.0, "b": 1.0},
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lm, p_boundary_init=0.5, beta_sent_boundary=-1,
+        n_slices_max=3, fb_type="unigram", batch_size=3, seed=11)
+    seg.gibbs_sample(2)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), seg, step=2)
+    uni_before = np.asarray(seg.lm.state.unigram_counts).copy()
+    big_before = np.asarray(seg.lm.state.bigram_counts).copy()
+    seg.gibbs_sample(2)
+    ckpt.restore_checkpoint(str(tmp_path / "ck"), seg, step=2)
+    npt.assert_array_equal(np.asarray(seg.lm.state.unigram_counts), uni_before)
+    npt.assert_array_equal(np.asarray(seg.lm.state.bigram_counts), big_before)
+    rec = seg.gibbs_sample(1)
+    assert np.isfinite(rec["log_marg"][-1])
