@@ -76,6 +76,51 @@ def transcript_pairs(transcript: jnp.ndarray):
     return pj, pi  # pair valid where pj >= 0 and pi >= 0
 
 
+def transcript_pairs_batch(transcripts: jnp.ndarray):
+    """Batched, fully parallel ``transcript_pairs``: forward-fill the last
+    valid component via a cumulative max over positions (no scan).
+
+    transcripts [B, S] int32 (-1 pads) -> (pj, pi) each [B, S].
+    """
+    B, S = transcripts.shape
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = transcripts >= 0
+    idx = jnp.where(valid, pos, -1)
+    inc = jax.lax.cummax(idx, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, inc.dtype), inc[:, :-1]], axis=1
+    )
+    pj = jnp.where(
+        (prev >= 0) & valid,
+        jnp.take_along_axis(transcripts, jnp.maximum(prev, 0), axis=1),
+        -1,
+    )
+    pi = jnp.where(valid, transcripts, -1)
+    return pj, pi
+
+
+def add_block_counts(state: BigramLMState, transcripts: jnp.ndarray,
+                     valid: jnp.ndarray, sign: int = 1) -> BigramLMState:
+    """Add/remove a whole block of utterance transcripts in two scatter-adds
+    (counts are additive, so no per-utterance sequencing is needed)."""
+    K = state.unigram_counts.shape[0]
+    cur_valid = (transcripts >= 0) & valid[:, None]
+    uni_idx = jnp.where(cur_valid, transcripts, K).reshape(-1)
+    uni = state.unigram_counts.at[uni_idx].add(
+        jnp.where(cur_valid, sign, 0).astype(jnp.int32).reshape(-1),
+        mode="drop",
+    )
+    pj, pi = transcript_pairs_batch(transcripts)
+    pair_valid = (pj >= 0) & (pi >= 0) & valid[:, None]
+    bj = jnp.where(pair_valid, pj, K).reshape(-1)
+    bi = jnp.where(pair_valid, pi, K).reshape(-1)
+    big = state.bigram_counts.at[bj, bi].add(
+        jnp.where(pair_valid, sign, 0).astype(jnp.int32).reshape(-1),
+        mode="drop",
+    )
+    return BigramLMState(unigram_counts=uni, bigram_counts=big)
+
+
 def add_transcript_counts(state: BigramLMState, transcript: jnp.ndarray,
                           sign: int = 1) -> BigramLMState:
     """Add (sign=+1) / remove (sign=-1) one utterance's counts

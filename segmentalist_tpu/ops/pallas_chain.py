@@ -220,3 +220,227 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     )(temp_in, prec_c, prec0_c, p0m0_c, okf, logp, xeT, gumb,
       counts_f, sumx)
     return ks[:B, :, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha_a", "intrp_lambda", "b_smooth", "K", "lms",
+                     "interpret"),
+)
+def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
+                          var, var_0, mu_0, temp,
+                          uni_lo, big_table, corr_j, corr_i,
+                          alpha_a: float, intrp_lambda: float,
+                          b_smooth: float, K: int, lms: float = 1.0,
+                          interpret: bool = False):
+    """Bigram-conditioned assignment chains (reference
+    ``gibbs_sample_inside_loop_i_embed``, bigram_acoustic_wordseg.py:332-384)
+    as a Pallas kernel.
+
+    Same structure as :func:`fixedvar_chain`, with the mixture-weight term
+    replaced by the smoothed interpolated bigram LM conditioned on the
+    previous segment's sampled component:
+
+        w = lms * log( lam * uni_prob + (1-lam) * (row_j - corr + b/K)/(c_j + b) )
+
+    where ``row_j`` is the global bigram-count row of the previous component
+    and ``corr`` removes the utterance's own OLD pairs (``corr_j``/``corr_i``;
+    the reference strips the utterance's LM counts before sampling,
+    :410/:496).  The first segment of an utterance uses the unigram weights.
+
+    Extra inputs: ``uni_lo`` [B, K] leave-one-utterance-out unigram counts,
+    ``big_table`` [K, K] global bigram counts (shared), ``corr_j``/``corr_i``
+    [B, S] the utterance's old (prev, cur) pairs.
+    """
+    B, S, D = Xe.shape
+    D_pad = _round_up(max(D, 8), 8)
+    K_pad = _round_up(K, 128)
+    B_tile = min(8, _round_up(B, 8))  # big_table costs 4MB of VMEM
+    B_pad = _round_up(B, B_tile)
+    dtype = Xe.dtype
+    Kf = float(K)
+
+    def bpad(a, fill=0):
+        return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    xeT = bpad(jnp.pad(
+        jnp.swapaxes(Xe, 1, 2), ((0, 0), (0, D_pad - D), (0, 0))
+    ))  # [B_pad, D_pad, S]
+    gumb = bpad(jnp.pad(gumbel.astype(dtype), ((0, 0), (0, 0), (0, K_pad - K))))
+    okf = bpad((embeds >= 0).astype(dtype)[:, None, :])
+    logp = bpad(log_prior_e.astype(dtype)[:, None, :])
+    counts_f = bpad(
+        jnp.pad(counts.astype(dtype), ((0, 0), (0, K_pad - K)))[:, None, :]
+    )
+    sumx = bpad(jnp.pad(
+        jnp.swapaxes(sum_x, 1, 2).astype(dtype),
+        ((0, 0), (0, D_pad - D), (0, K_pad - K)),
+    ))
+    uni = bpad(jnp.pad(uni_lo.astype(dtype),
+                       ((0, 0), (0, K_pad - K)))[:, None, :])
+    big = jnp.pad(big_table.astype(dtype),
+                  ((0, K_pad - K), (0, K_pad - K)))
+    # Utterance's own old-pair successors as a one-hot table [B, S, K_pad];
+    # the per-step correction is then a masked reduce over S.
+    oh_pi = (
+        jax.nn.one_hot(jnp.maximum(corr_i, 0), K_pad, dtype=dtype)
+        * ((corr_i >= 0) & (corr_j >= 0)).astype(dtype)[..., None]
+    )
+    oh_pi = bpad(oh_pi)
+    cj = bpad(corr_j.astype(jnp.int32)[:, None, :])  # [B_pad, 1, S]
+
+    def colpad(v, fill):
+        v = jnp.asarray(v, dtype)
+        return jnp.pad(v, (0, D_pad - D), constant_values=fill)[:, None]
+
+    prec_c = 1.0 / colpad(var, 1.0)
+    prec0_c = 1.0 / colpad(var_0, 1.0)
+    p0m0_c = prec0_c * colpad(mu_0, 0.0)
+
+    lam = float(intrp_lambda)
+    a_s = float(alpha_a)
+    b_s = float(b_smooth)
+    lms_f = float(lms)
+
+    def kernel(temp_ref, prec_ref, prec0_ref, p0m0_ref, big_ref,
+               logp_ref, okf_ref, cj_ref, xe_ref, gumb_ref, counts_ref,
+               sumx_ref, uni_ref, ohpi_ref, ks_ref):
+        temp = temp_ref[0, 0]
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+        dmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, D_pad, 1), 1) < D
+        ).astype(dtype)
+        real = lane_k < K
+        realf = real.astype(dtype)
+        prec = prec_ref[:]
+        prec0 = prec0_ref[:]
+        p0m0 = p0m0_ref[:]
+
+        uni_c = uni_ref[:]  # [B_t, 1, K_pad] leave-out unigram counts
+        n_uni = jnp.sum(uni_c * realf, axis=2, keepdims=True)
+        uni_prob = (uni_c + a_s / Kf) / (n_uni + a_s)
+        uni_w = lms_f * (jnp.log(uni_c + a_s / Kf) - jnp.log(n_uni + a_s))
+
+        def derive(cnt, sx):
+            prec_n = prec0 + cnt * prec
+            mu = (p0m0 + prec * sx) / prec_n
+            pp = prec_n * prec / (prec_n + prec)
+            return mu, pp
+
+        def body(s, carry):
+            counts_f, sumx, mu, pp, lpp, j_prev = carry
+            oh_lane = (lane_s == s).astype(dtype)
+            oh_sub = (sub_s == s).astype(dtype)
+            x = jnp.sum(xe_ref[:] * oh_lane, axis=2, keepdims=True)
+            g = jnp.sum(gumb_ref[:] * oh_sub, axis=1, keepdims=True)
+            ok = jnp.sum(okf_ref[:] * oh_lane, axis=2, keepdims=True)
+            lp = jnp.sum(logp_ref[:] * oh_lane, axis=2, keepdims=True)
+
+            # LM weights conditioned on the previous component.
+            j_s = jnp.maximum(j_prev, 0)  # [B_t, 1, 1] int32
+            oh_j = (lane_k == j_s).astype(dtype)  # [B_t, 1, K_pad]
+            # row_j: one [B_t, K] x [K, K] matvec on the MXU.
+            row = jax.lax.dot_general(
+                oh_j[:, 0, :], big_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )[:, None, :]  # [B_t, 1, K_pad]
+            sel = (cj_ref[:] == j_s).astype(dtype)  # [B_t, 1, S]
+            corr = jnp.sum(
+                ohpi_ref[:] * jnp.swapaxes(sel, 1, 2), axis=1, keepdims=True
+            )  # [B_t, 1, K_pad]
+            uni_j = jnp.sum(oh_j * uni_c, axis=2, keepdims=True)
+            p_cond = lam * uni_prob + (1.0 - lam) * (
+                (row - corr) + b_s / Kf
+            ) / (uni_j + b_s)
+            w_big = lms_f * jnp.log(p_cond)
+            # Select (not blend): the unused branch can be NaN (log of the
+            # j=0 fallback row) for the first segment of an utterance.
+            w = jnp.where(j_prev >= 0, w_big, uni_w)
+
+            mu_pred, prec_pred = mu, pp
+            delta = x - mu_pred
+            maha = jnp.sum(delta * delta * prec_pred * dmask, axis=1,
+                           keepdims=True)
+            post = -0.5 * D * _LOG_2PI + 0.5 * lpp - 0.5 * maha
+            logits = w + jnp.where(counts_f > 0.0, post, lp)
+            logits = jnp.where(real, logits, NEG_INF)
+            perturbed = jnp.where(
+                jnp.isneginf(logits), NEG_INF, logits / temp + g
+            )
+            k_draw = jnp.argmax(perturbed, axis=2)[..., None]
+
+            oh_draw = (lane_k == k_draw).astype(dtype)
+            cnt_at = jnp.sum(oh_draw * counts_f, axis=2, keepdims=True)
+            empty = jnp.where(jnp.logical_and(counts_f <= 0.0, real), 1.0, 0.0)
+            any_empty = jnp.max(empty, axis=2, keepdims=True) > 0.0
+            first_empty = jnp.argmax(empty, axis=2)[..., None]
+            k_new = jnp.where(
+                cnt_at > 0.0, k_draw,
+                jnp.where(any_empty, first_empty, K - 1),
+            )
+
+            oh = (lane_k == k_new).astype(dtype) * ok
+            new_counts = counts_f + oh
+            new_sumx = sumx + oh * x
+            cnt_row = jnp.sum(oh * new_counts, axis=2, keepdims=True)
+            sx_row = jnp.sum(oh * new_sumx, axis=2, keepdims=True)
+            mu_row_new, pp_row_new = derive(cnt_row, sx_row)
+            mu_row_old = jnp.sum(oh * mu, axis=2, keepdims=True)
+            pp_row_old = jnp.sum(oh * pp, axis=2, keepdims=True)
+            new_mu = mu + oh * (mu_row_new - mu_row_old)
+            new_pp = pp + oh * (pp_row_new - pp_row_old)
+            safe = lambda r: jnp.where(  # noqa: E731
+                jnp.logical_and(dmask > 0.0, r > 0.0), r, 1.0)
+            t_new = jnp.sum(jnp.log(safe(pp_row_new)), axis=1, keepdims=True)
+            t_old = jnp.sum(jnp.log(safe(pp_row_old)), axis=1, keepdims=True)
+            new_lpp = lpp + oh * (t_new - t_old)
+
+            okb = ok > 0.0
+            ks_ref[:, pl.ds(s, 1), :] = jnp.where(
+                okb, k_new, -1
+            ).astype(jnp.int32).reshape(-1, 1, 1)
+            j_next = jnp.where(okb, k_new.astype(jnp.int32), j_prev)
+            return new_counts, new_sumx, new_mu, new_pp, new_lpp, j_next
+
+        counts0 = counts_ref[:]
+        sumx0 = sumx_ref[:]
+        mu0, pp0 = derive(counts0, sumx0)
+        lpp0 = jnp.sum(
+            jnp.log(jnp.where(dmask > 0.0, pp0, 1.0)), axis=1, keepdims=True
+        )
+        j0 = jnp.full((B_tile, 1, 1), -1, jnp.int32)
+        jax.lax.fori_loop(0, S, body, (counts0, sumx0, mu0, pp0, lpp0, j0))
+
+    temp_in = jnp.asarray(temp, dtype=dtype).reshape(1, 1)
+    shared2 = lambda i: (0, 0)  # noqa: E731
+    own3 = lambda i: (i, 0, 0)  # noqa: E731
+    ks = pl.pallas_call(
+        kernel,
+        grid=(B_pad // B_tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1), shared2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((D_pad, 1), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_pad, 1), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_pad, 1), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_pad, K_pad), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_tile, S, 1), own3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, S, 1), jnp.int32),
+        interpret=interpret,
+    )(temp_in, prec_c, prec0_c, p0m0_c, big,
+      logp, okf, cj, xeT, gumb, counts_f, sumx, uni, oh_pi)
+    return ks[:B, :, 0]

@@ -30,8 +30,10 @@ from ..models.bigram_fbgmm import BigramFBGMM
 from ..models.bigram_lm import (
     BigramLMState,
     BigramSmoothLM,
+    add_block_counts,
     add_transcript_counts,
     transcript_pairs,
+    transcript_pairs_batch,
 )
 from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, annealed_gumbel_max, logsumexp
@@ -178,12 +180,8 @@ class BigramAcousticWordseg:
             unigram_counts=jnp.zeros((self.lm.K,), jnp.int32),
             bigram_counts=jnp.zeros((self.lm.K, self.lm.K), jnp.int32),
         )
-
-        def body(state, t):
-            return add_transcript_counts(state, t, sign=1), None
-
-        state, _ = jax.lax.scan(body, state, transcripts)
-        return state
+        valid = jnp.ones((transcripts.shape[0],), bool)
+        return add_block_counts(state, transcripts, valid, sign=1)
 
     def _all_transcripts(self) -> jnp.ndarray:
         """[U, S] padded component transcripts for every utterance."""
@@ -388,41 +386,65 @@ class BigramAcousticWordseg:
         lam, a, b, K = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         dtype = self.acoustic_model.X.dtype
 
+        def counts_before(ev_keys, ev_valid, q_keys, q_valid, sentinel):
+            """count[t] = #{s : ev_valid[s], ev_keys[s] == q_keys[t], s < t}.
+
+            Fully parallel replacement for replay counting: sort (key, time,
+            is_event) so each query lands just before the same-time event,
+            then the count is the exclusive event-prefix-sum within the key
+            group.  (The reference replays the corpus sequentially,
+            bigram_acoustic_wordseg.py:287-305; ranks among equal keys in
+            the fixed replay order are the same numbers.)
+            """
+            T = ev_keys.shape[0]
+            times = jnp.arange(T, dtype=jnp.int32)
+            ke = jnp.where(ev_valid, ev_keys, sentinel)
+            kq = jnp.where(q_valid, q_keys, sentinel + 1)
+            keys = jnp.concatenate([ke, kq])
+            tms = jnp.concatenate([times, times])
+            isev = jnp.concatenate([
+                jnp.ones((T,), jnp.int32), jnp.zeros((T,), jnp.int32)
+            ])
+            qpos = jnp.concatenate([jnp.full((T,), -1, jnp.int32), times])
+            sk, _, se, sq = jax.lax.sort((keys, tms, isev, qpos), num_keys=3)
+            csum_ex = jnp.cumsum(se) - se  # events strictly before, global
+            iota = jnp.arange(2 * T, dtype=jnp.int32)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+            )
+            start_idx = jax.lax.cummax(jnp.where(first, iota, 0))
+            base = csum_ex[start_idx]
+            cnt = csum_ex - base
+            out = jnp.zeros((T,), cnt.dtype).at[
+                jnp.where(sq >= 0, sq, T)
+            ].set(cnt, mode="drop")
+            return out
+
         @jax.jit
         def log_prob_z(transcripts):
-            pj, pi = jax.vmap(transcript_pairs)(transcripts)
+            pj, pi = transcript_pairs_batch(transcripts)
             flat_j = pj.reshape(-1)
             flat_i = pi.reshape(-1)
-
-            def step(carry, inp):
-                uni, big, n, total = carry
-                j, i = inp
-                ok = i >= 0
-                has_prev = j >= 0
-                i_s = jnp.maximum(i, 0)
-                j_s = jnp.maximum(j, 0)
-                p_uni = (uni[i_s].astype(dtype) + a / K) / (n.astype(dtype) + a)
-                p_big = (big[j_s, i_s].astype(dtype) + b / K) / (
-                    uni[j_s].astype(dtype) + b
-                )
-                p_cond = lam * p_uni + (1.0 - lam) * p_big
-                p = jnp.where(has_prev, p_cond, p_uni)
-                total = total + jnp.where(ok, jnp.log(p), 0.0)
-                big = big.at[j_s, i_s].add(
-                    (ok & has_prev).astype(jnp.int32)
-                )
-                uni = uni.at[i_s].add(ok.astype(jnp.int32))
-                n = n + ok.astype(jnp.int32)
-                return (uni, big, n, total), None
-
-            init = (
-                jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K, K), jnp.int32),
-                jnp.int32(0),
-                jnp.zeros((), dtype),
+            valid = flat_i >= 0
+            has_prev = flat_j >= 0
+            n_before = (jnp.cumsum(valid.astype(jnp.int32))
+                        - valid.astype(jnp.int32))
+            i_s = jnp.maximum(flat_i, 0)
+            j_s = jnp.maximum(flat_j, 0)
+            rank_uni = counts_before(i_s, valid, i_s, valid, K)
+            uni_j_before = counts_before(i_s, valid, j_s, has_prev, K)
+            pair = j_s * K + i_s
+            pair_valid = valid & has_prev
+            rank_big = counts_before(pair, pair_valid, pair, pair_valid,
+                                     K * K)
+            p_uni = (rank_uni.astype(dtype) + a / K) / (
+                n_before.astype(dtype) + a
             )
-            (_, _, _, total), _ = jax.lax.scan(step, init, (flat_j, flat_i))
-            return total
+            p_big = (rank_big.astype(dtype) + b / K) / (
+                uni_j_before.astype(dtype) + b
+            )
+            p = jnp.where(has_prev, lam * p_uni + (1.0 - lam) * p_big, p_uni)
+            return jnp.sum(jnp.where(valid, jnp.log(p), 0.0))
 
         return log_prob_z
 
@@ -459,8 +481,11 @@ class BigramAcousticWordseg:
             c = uni_lo_b.astype(X.dtype)
             return lms * (jnp.log(c + a / K_max) - jnp.log(jnp.sum(c) + a))
 
+        pallas_chain_ok = (not full_cov and hasattr(prior, "var")
+                           and not on_mesh)
+
         def assignment_chain(lo_b, params_b, uni_lo_b, big_table, big_corr_j,
-                             big_corr_i, embeds_b, key_b, temp):
+                             big_corr_i, embeds_b, gumb_b, temp):
             """Sequential bigram-conditioned assignment resampling (reference
             gibbs_sample_inside_loop_i_embed, bigram_acoustic_wordseg.py:332-384).
 
@@ -483,7 +508,7 @@ class BigramAcousticWordseg:
 
             def step(carry, inp):
                 stats_b, p_b, j_prev = carry
-                e, key_s = inp
+                e, g = inp
                 ok = e >= 0
                 x = X[jnp.maximum(e, 0)]
                 # Bigram row with own-count corrections.
@@ -501,7 +526,9 @@ class BigramAcousticWordseg:
                 logits = w + jnp.where(
                     stats_b.counts > 0, post, log_prior_vec[jnp.maximum(e, 0)]
                 )
-                k = annealed_gumbel_max(key_s, logits, temp)
+                k = jnp.argmax(jnp.where(
+                    jnp.isneginf(logits), NEG_INF, logits / temp + g
+                ))
                 k = canonicalize_new_component(stats_b.counts, k)
                 stats_b = add_item(stats_b, x, k, full_cov=full_cov,
                                    weight=ok.astype(jnp.int32))
@@ -511,9 +538,8 @@ class BigramAcousticWordseg:
                     ok, k.astype(jnp.int32), -1
                 )
 
-            keys = jax.random.split(key_b, embeds_b.shape[0])
             (_, _, _), ks = jax.lax.scan(
-                step, (lo_b, params_b, jnp.int32(-1)), (embeds_b, keys)
+                step, (lo_b, params_b, jnp.int32(-1)), (embeds_b, gumb_b)
             )
             return ks
 
@@ -540,7 +566,7 @@ class BigramAcousticWordseg:
                                                 full_cov)
                 lo = leave_out_stats(stats, old_contrib)
                 uni_lo = lm_state.unigram_counts[None] - old_contrib.counts
-                pj, pi = jax.vmap(transcript_pairs)(old_ks)
+                pj, pi = transcript_pairs_batch(old_ks)
 
                 # Boundary resampling with unigram-marginal scores
                 # (get_vec_embed_log_probs_unigram, :673-692).
@@ -576,13 +602,31 @@ class BigramAcousticWordseg:
                     new_embeds = old_embeds
 
                 # Sequential bigram-conditioned assignment chains.
-                chain_keys = jax.random.split(k_assign, B)
+                gumbel = jax.random.gumbel(
+                    k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
+                )
                 big_table = lm_state.bigram_counts
-                new_ks = jax.vmap(
-                    lambda lo_b, p_b, u_b, cj, ci, e_b, kk: assignment_chain(
-                        lo_b, p_b, u_b, big_table, cj, ci, e_b, kk, assign_temp
+                if pallas_chain_ok:
+                    from ..ops.pallas_chain import bigram_fixedvar_chain
+
+                    new_ks = bigram_fixedvar_chain(
+                        new_embeds, X[jnp.maximum(new_embeds, 0)],
+                        log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                        lo.counts, lo.sum_x,
+                        prior.var, prior.var_0, prior.mu_0, assign_temp,
+                        uni_lo, big_table, pj, pi,
+                        alpha_a=a, intrp_lambda=lam, b_smooth=b,
+                        K=K_max, lms=lms,
+                        interpret=jax.default_backend() != "tpu",
                     )
-                )(lo, params_b, uni_lo, pj, pi, new_embeds, chain_keys)
+                else:
+                    new_ks = jax.vmap(
+                        lambda lo_b, p_b, u_b, cj, ci, e_b, g_b:
+                        assignment_chain(
+                            lo_b, p_b, u_b, big_table, cj, ci, e_b, g_b,
+                            assign_temp
+                        )
+                    )(lo, params_b, uni_lo, pj, pi, new_embeds, gumbel)
 
                 # Merge acoustic stats / assignments / boundaries (one flat
                 # scatter for the new contributions).
@@ -604,18 +648,10 @@ class BigramAcousticWordseg:
                 idx_w = jnp.where(valid, idx, boundaries.shape[0])
                 boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
 
-                # Merge LM counts: remove old transcripts, add new ones.
-                def lm_update(state_lm, ks, sign):
-                    def body(s, t_and_v):
-                        t, v = t_and_v
-                        t_eff = jnp.where(v, t, -jnp.ones_like(t))
-                        return add_transcript_counts(s, t_eff, sign=sign), None
-
-                    s, _ = jax.lax.scan(body, state_lm, (ks, valid))
-                    return s
-
-                lm_state = lm_update(lm_state, old_ks, -1)
-                lm_state = lm_update(lm_state, new_ks, 1)
+                # Merge LM counts: remove old transcripts, add new ones --
+                # counts are additive, so the whole block is two scatters.
+                lm_state = add_block_counts(lm_state, old_ks, valid, sign=-1)
+                lm_state = add_block_counts(lm_state, new_ks, valid, sign=1)
 
                 lp_total = lp_total + jnp.sum(jnp.where(valid, log_prob, 0.0))
                 return (stats, assignments, boundaries, lm_state, key,

@@ -167,3 +167,79 @@ def test_log_prob_z_matches_manual_replay():
             )
             j_prev = i_cur
     npt.assert_allclose(seg.log_prob_z(), total, rtol=1e-9)
+
+
+def test_add_block_counts_matches_sequential():
+    """Batched block count update == per-utterance sequential updates."""
+    import jax.numpy as jnp
+    from segmentalist_tpu.models.bigram_lm import (
+        add_block_counts, add_transcript_counts, empty_lm_state)
+
+    rng = np.random.RandomState(0)
+    K, B, S = 7, 9, 6
+    ts = rng.randint(-1, K, (B, S)).astype(np.int32)
+    valid = rng.rand(B) < 0.8
+
+    seq = empty_lm_state(K)
+    for b in range(B):
+        if valid[b]:
+            seq = add_transcript_counts(seq, jnp.asarray(ts[b]), sign=1)
+    bat = add_block_counts(empty_lm_state(K), jnp.asarray(ts),
+                           jnp.asarray(valid), sign=1)
+    npt.assert_array_equal(np.asarray(bat.unigram_counts),
+                           np.asarray(seq.unigram_counts))
+    npt.assert_array_equal(np.asarray(bat.bigram_counts),
+                           np.asarray(seq.bigram_counts))
+
+
+def test_log_prob_z_parallel_matches_python_replay():
+    """The sort-based parallel log_prob_z must equal a direct python replay
+    of the reference recursion (bigram_acoustic_wordseg.py:287-305)."""
+    import jax.numpy as jnp
+    from segmentalist_tpu import FixedVarPrior
+    from segmentalist_tpu.segmenters.bigram import BigramAcousticWordseg
+    from segmentalist_tpu.utils.synth import synthetic_corpus
+
+    em, vi, du, lmk, _ = synthetic_corpus(
+        n_utterances=5, n_landmarks_max=5, D=3, K_true=2, n_slices_max=3,
+        seed=3)
+    prior = FixedVarPrior.create(0.05 * np.ones(3), np.zeros(3), np.ones(3))
+    np.random.seed(3)
+    lam, a, b = 0.15, 1.2, 2.0
+    seg = BigramAcousticWordseg(
+        am_K=4, am_param_prior=prior,
+        lm_params={"type": "smooth", "intrp_lambda": lam, "a": a, "b": b},
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lmk, p_boundary_init=0.5, beta_sent_boundary=-1,
+        n_slices_max=3, fb_type="unigram", batch_size=2, seed=3)
+
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        K = 4
+        ts = rng.randint(-1, K, (5, 6)).astype(np.int32)
+        fn = seg._log_prob_z_fn or seg._build_log_prob_z_fn()
+        got = float(fn(jnp.asarray(ts)))
+
+        # Direct python replay.
+        uni = np.zeros(K)
+        big = np.zeros((K, K))
+        n = 0
+        total = 0.0
+        for row in ts:
+            j_prev = -1
+            for cur in row:
+                if cur < 0:
+                    continue
+                p_uni = (uni[cur] + a / K) / (n + a)
+                if j_prev >= 0:
+                    p_big = (big[j_prev, cur] + b / K) / (uni[j_prev] + b)
+                    p = lam * p_uni + (1 - lam) * p_big
+                else:
+                    p = p_uni
+                total += np.log(p)
+                if j_prev >= 0:
+                    big[j_prev, cur] += 1
+                uni[cur] += 1
+                n += 1
+                j_prev = cur
+        npt.assert_allclose(got, total, rtol=1e-5), trial

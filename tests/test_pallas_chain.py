@@ -87,3 +87,82 @@ def test_pallas_chain_matches_xla_scan():
             use_argmax=use_argmax, interpret=True)
         npt.assert_array_equal(np.asarray(ks_pal), np.stack(ks_ref),
                                err_msg=f"use_argmax={use_argmax}")
+
+
+def test_bigram_pallas_chain_matches_xla_scan():
+    """Bigram-conditioned chain kernel vs an XLA transcription of the
+    reference's gibbs_sample_inside_loop_i_embed, on shared Gumbel noise."""
+    from segmentalist_tpu.ops.pallas_chain import bigram_fixedvar_chain
+
+    rng = np.random.RandomState(2)
+    B, S, D, K = 6, 5, 3, 9
+    N = 48
+    lam, a, b_s, lms, temp = 0.2, 1.0, 1.5, 1.1, 0.8
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior = FixedVarPrior.create(
+        0.1 * np.ones(D, np.float32), np.zeros(D, np.float32),
+        np.ones(D, np.float32))
+    counts = rng.randint(0, 6, (B, K)).astype(np.int32)
+    counts[:, -2] = 0  # keep an empty slot around
+    sum_x = (counts[..., None] * rng.randn(B, K, D)).astype(np.float32) * 0.1
+    uni_lo = rng.randint(0, 8, (B, K)).astype(np.int32)
+    big_table = rng.randint(0, 5, (K, K)).astype(np.int32)
+    corr_j = rng.randint(-1, K, (B, S)).astype(np.int32)
+    corr_i = rng.randint(-1, K, (B, S)).astype(np.int32)
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    embeds[rng.rand(B, S) < 0.25] = -1
+    gumb = np.asarray(jax.random.gumbel(jax.random.PRNGKey(5), (B, S, K))
+                      ).astype(np.float32)
+    lpv = cov.log_prior_batch(prior, X)
+
+    def xla_chain(b):
+        uni = uni_lo[b].astype(np.float32)
+        uni_prob = jnp.asarray((uni + a / K) / (uni.sum() + a))
+        uni_w = lms * jnp.asarray(
+            np.log(uni + a / K) - np.log(uni.sum() + a))
+        onehot_pi = (jax.nn.one_hot(np.maximum(corr_i[b], 0), K)
+                     * ((corr_i[b] >= 0) & (corr_j[b] >= 0))[:, None]
+                     ).astype(jnp.float32)
+        lo = SuffStats(jnp.asarray(counts[b]), jnp.asarray(sum_x[b]),
+                       jnp.zeros((K, D), jnp.float32))
+        params = cov.predictive_params(prior, lo)
+
+        def step(carry, inp):
+            stats_b, p_b, j_prev = carry
+            e, g = inp
+            ok = e >= 0
+            x = X[jnp.maximum(e, 0)]
+            j_s = jnp.maximum(j_prev, 0)
+            row = jnp.asarray(big_table)[j_s].astype(jnp.float32)
+            sel = (jnp.asarray(corr_j[b]) == j_s).astype(jnp.float32)
+            row = row - sel @ onehot_pi
+            uni_j = jnp.asarray(uni_lo[b])[j_s].astype(jnp.float32)
+            p_cond = lam * uni_prob + (1 - lam) * (row + b_s / K) / (uni_j + b_s)
+            w = jnp.where(j_prev >= 0, lms * jnp.log(p_cond), uni_w)
+            post = cov.log_post_pred(p_b, x)
+            logits = w + jnp.where(stats_b.counts > 0, post,
+                                   lpv[jnp.maximum(e, 0)])
+            k = jnp.argmax(jnp.where(jnp.isneginf(logits), -jnp.inf,
+                                     logits / temp + g))
+            k = canonicalize_new_component(stats_b.counts, k)
+            stats_b = add_item(stats_b, x, k, weight=ok.astype(jnp.int32))
+            p_b = cov.update_predictive_row(prior, stats_b, p_b, k)
+            j_next = jnp.where(ok, k.astype(jnp.int32), j_prev)
+            return (stats_b, p_b, j_next), jnp.where(ok, k.astype(jnp.int32), -1)
+
+        (_, _, _), ks = jax.lax.scan(
+            step, (lo, params, jnp.int32(-1)),
+            (jnp.asarray(embeds[b]), jnp.asarray(gumb[b])))
+        return np.asarray(ks)
+
+    ks_ref = np.stack([xla_chain(b) for b in range(B)])
+    ks_pal = bigram_fixedvar_chain(
+        jnp.asarray(embeds), X[jnp.maximum(jnp.asarray(embeds), 0)],
+        lpv[jnp.maximum(jnp.asarray(embeds), 0)], jnp.asarray(gumb),
+        jnp.asarray(counts), jnp.asarray(sum_x),
+        prior.var, prior.var_0, prior.mu_0, jnp.float32(temp),
+        jnp.asarray(uni_lo), jnp.asarray(big_table),
+        jnp.asarray(corr_j), jnp.asarray(corr_i),
+        alpha_a=a, intrp_lambda=lam, b_smooth=b_s, K=K, lms=lms,
+        interpret=True)
+    npt.assert_array_equal(np.asarray(ks_pal), ks_ref)
