@@ -41,6 +41,7 @@ def corpus():
 
 def run(name, build, sample):
     em, vi, du, lm, truth = corpus()
+    em = {k: v.astype(np.float32) for k, v in em.items()}
     seg = build(em, vi, du, lm)
     t0 = time.time()
     sample(seg, 1)
@@ -93,10 +94,25 @@ def main():
             landmarks_dict=lm, p_boundary_init=0.5, beta_sent_boundary=-1,
             n_slices_max=W, fb_type="unigram", batch_size=B, seed=0)
 
+    def build_full(em, vi, du, lm):
+        from segmentalist_tpu.priors import NIW
+
+        full_prior = NIW.create(np.zeros(D, np.float32), 0.05,
+                                float(D) + 3.0,
+                                0.05 * np.eye(D, dtype=np.float32))
+        np.random.seed(0)
+        return UnigramAcousticWordseg(
+            FBGMM, am_alpha=1.0, am_K=K, am_param_prior=full_prior,
+            embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+            landmarks_dict=lm, covariance_type="full", p_boundary_init=0.5,
+            beta_sent_boundary=-1, n_slices_max=W, batch_size=64, seed=0)
+
     run("unigram FBGMM (fixed var)", build_uni,
         lambda s, n: s.gibbs_sample(n))
     run("segmental k-means", build_km, lambda s, n: s.segment(n))
     run("bigram FBGMM + smooth LM", build_bi, lambda s, n: s.gibbs_sample(n))
+    run("unigram FBGMM (full NIW)", build_full,
+        lambda s, n: s.gibbs_sample(n))
 
 
 if __name__ == "__main__":
