@@ -628,11 +628,13 @@ class BigramAcousticWordseg:
                         )
                     )(lo, params_b, uni_lo, pj, pi, new_embeds, gumbel)
 
-                # Merge acoustic stats / assignments / boundaries (one flat
-                # scatter for the new contributions).
+                # Merge acoustic stats / assignments / boundaries (flat
+                # scatters on both sides).
+                old_flat_contrib = flat_contrib(X, old_embeds, old_ks, K_max,
+                                                full_cov, valid)
                 new_flat_contrib = flat_contrib(X, new_embeds, new_ks, K_max,
                                                 full_cov, valid)
-                stats = merge_flat(stats, old_contrib, new_flat_contrib, valid)
+                stats = merge_flat(stats, old_flat_contrib, new_flat_contrib)
                 vmask = valid[:, None]
                 oob = assignments.shape[0]
                 old_flat = jnp.where(

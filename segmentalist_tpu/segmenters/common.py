@@ -160,20 +160,21 @@ def flat_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
     return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
 
 
-def merge_flat(global_stats: SuffStats, old: SuffStats, new_flat: SuffStats,
-               valid: Array) -> SuffStats:
-    """global += new_flat - sum_b valid_b * old_b  (old is per-utterance)."""
-    v = valid.astype(global_stats.sum_x.dtype)
-    vi = valid.astype(jnp.int32)
+def merge_flat(global_stats: SuffStats, old_flat: SuffStats,
+               new_flat: SuffStats) -> SuffStats:
+    """global += new_flat - old_flat (both flat [K, ...] block sums).
 
-    def old_sum(a, w):
-        return jnp.sum(a * w.reshape((-1,) + (1,) * (a.ndim - 1)), axis=0)
-
+    Keeping both sides flat (``flat_contrib``) means the *per-utterance*
+    [B, K, ...] contribution tensors feed only the leave-one-out statistics;
+    components of those tensors that the covariance backend never reads
+    (e.g. ``sum_sq`` for fixed-variance scoring) are then dead code that XLA
+    eliminates entirely.
+    """
     return SuffStats(
         counts=(global_stats.counts + new_flat.counts
-                - old_sum(old.counts, vi)).astype(global_stats.counts.dtype),
-        sum_x=global_stats.sum_x + new_flat.sum_x - old_sum(old.sum_x, v),
-        sum_sq=global_stats.sum_sq + new_flat.sum_sq - old_sum(old.sum_sq, v),
+                - old_flat.counts).astype(global_stats.counts.dtype),
+        sum_x=global_stats.sum_x + new_flat.sum_x - old_flat.sum_x,
+        sum_sq=global_stats.sum_sq + new_flat.sum_sq - old_flat.sum_sq,
     )
 
 

@@ -512,12 +512,17 @@ class UnigramAcousticWordseg:
                 new_ks = run_chains(lo, params_b, new_embeds, k_assign,
                                     assign_temp)
 
-                # 5. Merge block updates into the global state (one flat
-                # scatter for the new contributions).
+                # 5. Merge block updates into the global state (flat
+                # scatters on both sides; the per-utterance old contribution
+                # then only feeds the leave-out statistics).
+                old_ks_masked = jnp.where(valid[:, None], old_ks, -1)
+                old_flat_contrib = flat_contrib(
+                    X, old_embeds, old_ks_masked, K_max, full_cov, valid
+                )
                 new_flat_contrib = flat_contrib(
                     X, new_embeds, new_ks, K_max, full_cov, valid
                 )
-                stats = merge_flat(stats, old_contrib, new_flat_contrib, valid)
+                stats = merge_flat(stats, old_flat_contrib, new_flat_contrib)
 
                 # Scatter with an out-of-bounds sentinel + mode="drop" so
                 # masked entries never write (negative indices would wrap).
