@@ -551,6 +551,22 @@ class _ComponentsView:
     def log_marg(self):
         return self._o.cov.log_marg(self._o.prior, self._o.stats)
 
+    def rand_k(self, k):
+        """Posterior parameter draw for component ``k`` (reference
+        ``rand_k``, gaussian_components.py:291-303)."""
+        o = self._o
+        return o.cov.rand_k(o._next_key(), o.prior, o.stats, k)
+
+    def map(self, k):
+        """MAP parameter estimate for component ``k`` (reference ``map``,
+        gaussian_components.py:305-316; fixed-var exposes the predictive
+        mean)."""
+        o = self._o
+        if hasattr(o.cov, "map_k"):
+            return o.cov.map_k(o.prior, o.stats, k)
+        params = o.cov.predictive_params(o.prior, o.stats)
+        return params.mu_pred[k]
+
     def add_item(self, i, k):
         self._o._add(i, jnp.asarray(k))
 

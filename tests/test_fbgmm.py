@@ -122,3 +122,26 @@ def test_consider_unassigned_false_keeps_unassigned():
     assert np.all(np.asarray(model.assignments)[10:] == -1)
     model.gibbs_sample(1, consider_unassigned=True)
     assert np.all(np.asarray(model.assignments) >= 0)
+
+
+def test_components_view_rand_k_and_map():
+    """Reference component-store surface: rand_k / map through the view
+    (gaussian_components.py:291-316)."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(30, 3).astype(np.float64)
+    prior = _priors(X, "full")
+    model = FBGMM(X, prior, alpha=1.0, K=4, assignments="rand",
+                  covariance_type="full")
+    mu, sigma = model.components.rand_k(0)
+    assert np.asarray(mu).shape == (3,)
+    assert np.asarray(sigma).shape == (3, 3)
+    # MAP covariance is symmetric PSD.
+    m_mu, m_sigma = model.components.map(0)
+    s = np.asarray(m_sigma)
+    npt.assert_allclose(s, s.T, atol=1e-9)
+    assert np.linalg.eigvalsh(s).min() > 0
+
+    model_f = FBGMM(X.astype(np.float32), _priors(X, "fixed"), alpha=1.0,
+                    K=4, assignments="rand", covariance_type="fixed")
+    mu_f = model_f.components.map(0)
+    assert np.asarray(mu_f).shape == (3,)
