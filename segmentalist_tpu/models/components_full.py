@@ -67,10 +67,63 @@ def _derive_covar(prior: NIW, counts, sum_x, sum_sq):
     return m_n, covar, v
 
 
+_UNROLL_D_MAX = 20
+
+
+def _chol_inv_logdet_unrolled(covar):
+    """Unrolled Cholesky + triangular inverse for small static D.
+
+    XLA's generic batched Cholesky lowers to a column-by-column while loop
+    that dominates the full-covariance sweep for tiny matrices (the sweep
+    factorises ~10^6 13x13 matrices per Gibbs sweep at Buckeye scale).
+    Unrolling over the static D turns the whole factorisation into a few
+    hundred fused element-wise ops vectorised over the [.., K] batch.
+    """
+    D = covar.shape[-1]
+    a = [[covar[..., i, j] for j in range(D)] for i in range(D)]
+    L = [[None] * D for _ in range(D)]
+    for i in range(D):
+        for j in range(i + 1):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    # Y = L^{-1} by forward substitution on the identity (lower triangular).
+    Y = [[None] * D for _ in range(D)]
+    for j in range(D):
+        Y[j][j] = 1.0 / L[j][j]
+        for i in range(j + 1, D):
+            s = None
+            for k in range(j, i):
+                t = L[i][k] * Y[k][j]
+                s = t if s is None else s + t
+            Y[i][j] = -s / L[i][i]
+    # A^{-1} = Y^T Y.
+    zero = jnp.zeros_like(covar[..., 0, 0])
+    inv_rows = []
+    for i in range(D):
+        row = []
+        for j in range(D):
+            s = None
+            for k in range(max(i, j), D):
+                t = Y[k][i] * Y[k][j]
+                s = t if s is None else s + t
+            row.append(s if s is not None else zero)
+        inv_rows.append(jnp.stack(row, axis=-1))
+    inv = jnp.stack(inv_rows, axis=-2)
+    logdet = 2.0 * sum(jnp.log(L[i][i]) for i in range(D))
+    return inv, logdet
+
+
 def _chol_inv_logdet(covar):
     """Batched inverse + log-determinant via Cholesky."""
-    chol = jnp.linalg.cholesky(covar)
     D = covar.shape[-1]
+    if D <= _UNROLL_D_MAX:
+        return _chol_inv_logdet_unrolled(covar)
+    chol = jnp.linalg.cholesky(covar)
     eye = jnp.eye(D, dtype=covar.dtype)
     eye = jnp.broadcast_to(eye, covar.shape)
     inv_chol = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)

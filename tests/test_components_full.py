@@ -143,3 +143,20 @@ def test_rand_k_moments():
     draws = [fc.rand_k(k, prior, stats, 0) for k in keys]
     mus = np.stack([np.asarray(m) for m, _ in draws])
     npt.assert_allclose(mus.mean(axis=0), X.mean(axis=0), atol=0.05)
+
+
+def test_unrolled_chol_inv_logdet_matches_linalg():
+    """The small-D unrolled Cholesky/inverse agrees with jnp.linalg."""
+    import jax.numpy as jnp
+    from segmentalist_tpu.models.components_full import (
+        _chol_inv_logdet_unrolled)
+
+    rng = np.random.RandomState(0)
+    for D in (1, 2, 5, 13):
+        A = rng.randn(7, D, D)
+        spd = A @ np.swapaxes(A, -1, -2) + D * np.eye(D)
+        inv, logdet = _chol_inv_logdet_unrolled(jnp.asarray(spd))
+        npt.assert_allclose(np.asarray(inv), np.linalg.inv(spd),
+                            rtol=1e-8, atol=1e-9)
+        npt.assert_allclose(np.asarray(logdet),
+                            np.linalg.slogdet(spd)[1], rtol=1e-9)
