@@ -174,9 +174,12 @@ def log_post_pred(params: PredParams, x: jnp.ndarray) -> jnp.ndarray:
 def log_post_pred_batch(params: PredParams, X: jnp.ndarray) -> jnp.ndarray:
     """[M, K] scores.  The Mahalanobis form expands into matmuls:
         d' A d = x'Ax - 2 x'(A mu) + mu'A mu  with A = inv_covar[k]."""
-    # x'Ax: [M, K] via einsum over D twice; with small D this is two matmuls
-    # in disguise that XLA maps onto the MXU.
-    xAx = jnp.einsum("md,kde,me->mk", X, params.inv_covar, X)
+    # x'Ax as ONE [M, D^2] x [D^2, K] matmul on the MXU (outer-product
+    # feature expansion), instead of a double-contraction einsum.
+    M, D_ = X.shape
+    K_ = params.inv_covar.shape[0]
+    xx = (X[:, :, None] * X[:, None, :]).reshape(M, D_ * D_)
+    xAx = xx @ params.inv_covar.reshape(K_, D_ * D_).T
     Amu = jnp.einsum("kde,ke->kd", params.inv_covar, params.mu)  # [K, D]
     xAmu = X @ Amu.T  # [M, K]
     muAmu = jnp.sum(params.mu * Amu, axis=-1)  # [K]
