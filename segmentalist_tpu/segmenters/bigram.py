@@ -31,12 +31,10 @@ from ..models.bigram_lm import (
     BigramLMState,
     BigramSmoothLM,
     add_block_counts,
-    add_transcript_counts,
-    transcript_pairs,
     transcript_pairs_batch,
 )
 from ..ops import dp as dp_ops
-from ..ops.random import NEG_INF, annealed_gumbel_max, logsumexp
+from ..ops.random import NEG_INF, logsumexp
 from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
     flat_contrib,

@@ -23,7 +23,6 @@ documented distributional-parity tradeoff (SURVEY.md section 7).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -29,11 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..corpus import Utterances, tri_index
+from ..corpus import Utterances
 from ..models.fbgmm import FBGMM, log_weights
 from ..ops import dp as dp_ops
-from ..ops.random import NEG_INF, annealed_gumbel_max, logsumexp
-from ..ops.stats import SuffStats, add_item, canonicalize_new_component
+from ..ops.random import NEG_INF, logsumexp
+from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
     flat_contrib,
     gather_block_segments,

@@ -229,3 +229,32 @@ def test_unigram_segmenter_full_and_diag_covariance():
         for i in range(seg.utterances.D):
             tr = seg.get_unsup_transcript_i(i)
             assert all(k >= 0 for k in tr), (cov_type, i, tr)
+
+
+def test_sampling_frequencies_match_exact_posterior():
+    """End-to-end MCMC correctness on the 1-utterance toy: with a single
+    utterance, the blocked sampler removes all its segments before scoring,
+    so each sweep draws the segmentation i.i.d. from the duration-scaled
+    candidate distribution -- the split/whole frequencies must match the
+    closed form computed from ``get_vec_embed_log_probs`` on the empty
+    model."""
+    np.random.seed(1)
+    seg = _make_segmenter()
+    am = seg.acoustic_model
+
+    # Closed form: score candidates against the EMPTY model.
+    am.setup_components(2, np.array([-1, -1, -1]))
+    v = seg.get_vec_embed_log_probs(
+        seg.utterances.vec_ids[0], seg.utterances.durations[0]
+    )
+    # split = segments [0:1] + [1:2] (candidates 0 and 2); whole = candidate 1.
+    p_split = np.exp(v[0] + v[2]) / (np.exp(v[0] + v[2]) + np.exp(v[1]))
+
+    np.random.seed(1)
+    seg = _make_segmenter(seed=123)
+    n = 400
+    record = seg.gibbs_sample(n)
+    # Identify the state per sweep from the boundary trace via n_tokens.
+    n_tokens = np.array(record["n_tokens"])
+    frac_split = float(np.mean(n_tokens == 2))
+    assert abs(frac_split - p_split) < 0.08, (frac_split, p_split)
