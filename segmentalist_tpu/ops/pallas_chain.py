@@ -24,8 +24,10 @@ Design notes:
     the XLA fallback consumes the *same* noise tensor, so both paths sample
     identical chains.
 
-Fixed-variance backend only (the flagship configuration); diag/full use the
-XLA scan fallback in ``segmenters/unigram.py``.
+Kernels: ``fixedvar_chain`` (flagship), ``diag_chain`` (normal-inverse-
+chi-squared, in-kernel Stirling lgamma), ``bigram_fixedvar_chain`` (smoothed
+bigram LM conditioning).  Full covariance uses the XLA scan fallback in
+``segmenters/unigram.py``.
 """
 
 from __future__ import annotations
@@ -443,4 +445,226 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         interpret=interpret,
     )(temp_in, prec_c, prec0_c, p0m0_c, big,
       logp, okf, cj, xeT, gumb, counts_f, sumx, uni, oh_pi)
+    return ks[:B, :, 0]
+
+
+def _lgamma_stirling(z):
+    """log Gamma(z) for z > 0 via recurrence-lifted Stirling series.
+
+    Mosaic does not lower ``lax.lgamma``; this composition of log/divide is
+    accurate to ~1e-7 (f32-exact) for the half-integer arguments the
+    Student-t degrees of freedom produce.  Lift z by 6 then apply the series.
+    """
+    shift = 0.0
+    for i in range(6):
+        shift = shift + jnp.log(z + i)
+    z6 = z + 6.0
+    inv = 1.0 / z6
+    inv2 = inv * inv
+    series = (
+        (z6 - 0.5) * jnp.log(z6) - z6 + 0.5 * math.log(2.0 * math.pi)
+        + inv * (1.0 / 12.0)
+        - (inv * inv2) * (1.0 / 360.0)
+        + (inv * inv2 * inv2) * (1.0 / 1260.0)
+    )
+    return series - shift
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_0", "v_0", "alpha", "K", "lms", "use_argmax",
+                     "interpret"),
+)
+def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
+               m_0, k_0, v_0, S_0, temp,
+               alpha: float, K: int, lms: float = 1.0,
+               use_argmax: bool = False, interpret: bool = False):
+    """Within-utterance assignment chains for the diagonal-covariance
+    (normal-inverse-chi-squared) backend (reference
+    ``gaussian_components_diag.py:237-259`` scoring inside the
+    ``fbgmm.py:422-463`` chain).
+
+    Same tiling/one-hot design as :func:`fixedvar_chain`; differences:
+    ``sum_sq`` rides along in the carry, the predictive is a product of
+    univariate Student's t densities (per-step ``log1p`` over [D, K] is
+    inherent -- the location/scale depend on the query vector), and the
+    count-dependent ``gammaln`` ratio is maintained incrementally with an
+    in-kernel Stirling ``lgamma``.
+    """
+    B, S, D = Xe.shape
+    D_pad = _round_up(max(D, 8), 8)
+    K_pad = _round_up(K, 128)
+    B_tile = min(8, _round_up(B, 8))  # extra [D, K] carries vs fixedvar
+    B_pad = _round_up(B, B_tile)
+    dtype = Xe.dtype
+    Kf = float(K)
+    k0 = float(k_0)
+    v0 = float(v_0)
+
+    def bpad(a, fill=0):
+        return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    xeT = bpad(jnp.pad(
+        jnp.swapaxes(Xe, 1, 2), ((0, 0), (0, D_pad - D), (0, 0))
+    ))
+    gumb = bpad(jnp.pad(gumbel.astype(dtype), ((0, 0), (0, 0), (0, K_pad - K))))
+    okf = bpad((embeds >= 0).astype(dtype)[:, None, :])
+    logp = bpad(log_prior_e.astype(dtype)[:, None, :])
+    counts_f = bpad(
+        jnp.pad(counts.astype(dtype), ((0, 0), (0, K_pad - K)))[:, None, :]
+    )
+
+    def statpad(a):
+        return bpad(jnp.pad(
+            jnp.swapaxes(a, 1, 2).astype(dtype),
+            ((0, 0), (0, D_pad - D), (0, K_pad - K)),
+        ))
+
+    sumx = statpad(sum_x)
+    sumsq = statpad(sum_sq)
+
+    def colpad(v, fill):
+        v = jnp.asarray(v, dtype)
+        return jnp.pad(v, (0, D_pad - D), constant_values=fill)[:, None]
+
+    m0_c = colpad(m_0, 0.0)               # [D_pad, 1]
+    s0_c = colpad(S_0, 1.0)
+    snp0_c = s0_c + k0 * m0_c * m0_c      # S_0 + k_0 m_0^2 (prior part)
+
+    def kernel(temp_ref, m0_ref, snp0_ref, logp_ref, okf_ref, xe_ref,
+               gumb_ref, counts_ref, sumx_ref, sumsq_ref, ks_ref):
+        temp = temp_ref[0, 0]
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+        dmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, D_pad, 1), 1) < D
+        ).astype(dtype)
+        real = lane_k < K
+        m0 = m0_ref[:]
+        snp0 = snp0_ref[:]
+
+        def derive(cnt, sx, ssq):
+            """m_n, var, v_n (gaussian_components_diag.py:169-176, :332-345).
+            ``cnt`` [B_t, 1, K]; ``sx``/``ssq`` [B_t, D_pad, K]."""
+            k_n = k0 + cnt
+            v_n = v0 + cnt
+            m_n = (k0 * m0 + sx) / k_n
+            var = (k_n + 1.0) / (k_n * v_n) * (snp0 + ssq - k_n * m_n * m_n)
+            return m_n, var, v_n
+
+        def glr(v_n):
+            """gammaln((v+1)/2) - gammaln(v/2)."""
+            return _lgamma_stirling((v_n + 1.0) / 2.0) - _lgamma_stirling(
+                v_n / 2.0
+            )
+
+        def body(s, carry):
+            counts_f, sumx, sumsq, mu, var, lpv, gr = carry
+            oh_lane = (lane_s == s).astype(dtype)
+            oh_sub = (sub_s == s).astype(dtype)
+            x = jnp.sum(xe_ref[:] * oh_lane, axis=2, keepdims=True)
+            g = jnp.sum(gumb_ref[:] * oh_sub, axis=1, keepdims=True)
+            ok = jnp.sum(okf_ref[:] * oh_lane, axis=2, keepdims=True)
+            lp = jnp.sum(logp_ref[:] * oh_lane, axis=2, keepdims=True)
+
+            v_n = v0 + counts_f
+            delta = x - mu
+            t1 = jnp.sum(
+                jnp.log1p(delta * delta / (var * v_n) * dmask)
+                * dmask, axis=1, keepdims=True,
+            )
+            post = (
+                D * (gr - 0.5 * jnp.log(v_n) - 0.5 * math.log(math.pi))
+                - 0.5 * lpv
+                - (v_n + 1.0) / 2.0 * t1
+            )
+            w = lms * jnp.log(alpha / Kf + counts_f)
+            logits = w + jnp.where(counts_f > 0.0, post, lp)
+            logits = jnp.where(real, logits, NEG_INF)
+            if use_argmax:
+                perturbed = logits
+            else:
+                perturbed = jnp.where(
+                    jnp.isneginf(logits), NEG_INF, logits / temp + g
+                )
+            k_draw = jnp.argmax(perturbed, axis=2)[..., None]
+
+            oh_draw = (lane_k == k_draw).astype(dtype)
+            cnt_at = jnp.sum(oh_draw * counts_f, axis=2, keepdims=True)
+            empty = jnp.where(jnp.logical_and(counts_f <= 0.0, real), 1.0, 0.0)
+            any_empty = jnp.max(empty, axis=2, keepdims=True) > 0.0
+            first_empty = jnp.argmax(empty, axis=2)[..., None]
+            k_new = jnp.where(
+                cnt_at > 0.0, k_draw,
+                jnp.where(any_empty, first_empty, K - 1),
+            )
+
+            oh = (lane_k == k_new).astype(dtype) * ok
+            new_counts = counts_f + oh
+            new_sumx = sumx + oh * x
+            new_sumsq = sumsq + oh * (x * x)
+            cnt_row = jnp.sum(oh * new_counts, axis=2, keepdims=True)
+            sx_row = jnp.sum(oh * new_sumx, axis=2, keepdims=True)
+            ssq_row = jnp.sum(oh * new_sumsq, axis=2, keepdims=True)
+            mu_row_new, var_row_new, vn_row_new = derive(
+                cnt_row, sx_row, ssq_row
+            )
+            mu_row_old = jnp.sum(oh * mu, axis=2, keepdims=True)
+            var_row_old = jnp.sum(oh * var, axis=2, keepdims=True)
+            new_mu = mu + oh * (mu_row_new - mu_row_old)
+            new_var = var + oh * (var_row_new - var_row_old)
+            safe = lambda r: jnp.where(  # noqa: E731
+                jnp.logical_and(dmask > 0.0, r > 0.0), r, 1.0)
+            t_new = jnp.sum(jnp.log(safe(var_row_new)), axis=1, keepdims=True)
+            t_old = jnp.sum(jnp.log(safe(var_row_old)), axis=1, keepdims=True)
+            new_lpv = lpv + oh * (t_new - t_old)
+            gr_row_new = glr(v0 + cnt_row)
+            gr_row_old = jnp.sum(oh * gr, axis=2, keepdims=True)
+            new_gr = gr + oh * (gr_row_new - gr_row_old)
+
+            ks_ref[:, pl.ds(s, 1), :] = jnp.where(
+                ok > 0.0, k_new, -1
+            ).astype(jnp.int32).reshape(-1, 1, 1)
+            return (new_counts, new_sumx, new_sumsq, new_mu, new_var,
+                    new_lpv, new_gr)
+
+        counts0 = counts_ref[:]
+        sumx0 = sumx_ref[:]
+        sumsq0 = sumsq_ref[:]
+        mu0, var0_, _ = derive(counts0, sumx0, sumsq0)
+        lpv0 = jnp.sum(
+            jnp.log(jnp.where(dmask > 0.0, var0_, 1.0)), axis=1, keepdims=True
+        )
+        gr0 = glr(v0 + counts0)
+        jax.lax.fori_loop(
+            0, S, body, (counts0, sumx0, sumsq0, mu0, var0_, lpv0, gr0)
+        )
+
+    temp_in = jnp.asarray(temp, dtype=dtype).reshape(1, 1)
+    shared2 = lambda i: (0, 0)  # noqa: E731
+    own3 = lambda i: (i, 0, 0)  # noqa: E731
+    ks = pl.pallas_call(
+        kernel,
+        grid=(B_pad // B_tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1), shared2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((D_pad, 1), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_pad, 1), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_tile, S, 1), own3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, S, 1), jnp.int32),
+        interpret=interpret,
+    )(temp_in, m0_c, snp0_c, logp, okf, xeT, gumb, counts_f, sumx, sumsq)
     return ks[:B, :, 0]

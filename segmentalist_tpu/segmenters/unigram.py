@@ -388,7 +388,8 @@ class UnigramAcousticWordseg:
         # the XLA paths are used: GSPMD cannot partition pallas_call inside
         # plain jit (use shard_map for per-chip kernels; see parallel/).
         on_mesh = getattr(self, "_mesh", None) is not None
-        pallas_chain_ok = not full_cov and hasattr(prior, "var") and not on_mesh
+        cov_type = self.acoustic_model.covariance_type
+        pallas_chain_ok = cov_type in ("fixed", "diag") and not on_mesh
 
         def assignment_chain(lo_b, params_b, embeds_b, gumb_b, temp):
             """Sequential within-utterance assignment resampling (reference
@@ -429,7 +430,7 @@ class UnigramAcousticWordseg:
             gumbel = jax.random.gumbel(
                 k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
             )
-            if pallas_chain_ok:
+            if pallas_chain_ok and cov_type == "fixed":
                 from ..ops.pallas_chain import fixedvar_chain
 
                 return fixedvar_chain(
@@ -438,6 +439,19 @@ class UnigramAcousticWordseg:
                     lo.counts, lo.sum_x,
                     prior.var, prior.var_0, prior.mu_0, temp,
                     alpha=alpha, K=K_max,
+                    lms=1.0 if viterbi_assign else lms,
+                    use_argmax=viterbi_assign,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            if pallas_chain_ok and cov_type == "diag":
+                from ..ops.pallas_chain import diag_chain
+
+                return diag_chain(
+                    new_embeds, X[jnp.maximum(new_embeds, 0)],
+                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    lo.counts, lo.sum_x, lo.sum_sq,
+                    prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
+                    temp, alpha=alpha, K=K_max,
                     lms=1.0 if viterbi_assign else lms,
                     use_argmax=viterbi_assign,
                     interpret=jax.default_backend() != "tpu",

@@ -166,3 +166,84 @@ def test_bigram_pallas_chain_matches_xla_scan():
         alpha_a=a, intrp_lambda=lam, b_smooth=b_s, K=K, lms=lms,
         interpret=True)
     npt.assert_array_equal(np.asarray(ks_pal), ks_ref)
+
+
+def test_diag_pallas_chain_matches_xla_scan():
+    """Diagonal-covariance chain kernel vs the XLA scan path, shared noise."""
+    from segmentalist_tpu.models import components_diag as dcov
+    from segmentalist_tpu.ops.pallas_chain import diag_chain
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(7)
+    B, S, D, K = 5, 6, 4, 11
+    N = 40
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior = NIW.create(np.zeros(D, np.float32), 1.5, 5.0,
+                       0.4 * np.ones(D, np.float32))
+    counts = rng.randint(0, 5, (B, K)).astype(np.int32)
+    counts[:, 3] = 0
+    Z = rng.randn(B, K, D).astype(np.float32)
+    sum_x = (counts[..., None] * Z * 0.2).astype(np.float32)
+    # sum_sq must be >= what the sums imply; build from actual samples.
+    sum_sq = np.abs(counts[..., None] * (Z * Z * 0.1 + 0.5)).astype(np.float32) \
+        + (sum_x ** 2) / np.maximum(counts[..., None], 1)
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    embeds[rng.rand(B, S) < 0.3] = -1
+    gumb = np.asarray(jax.random.gumbel(jax.random.PRNGKey(9), (B, S, K))
+                      ).astype(np.float32)
+    lpv = dcov.log_prior_batch(prior, X)
+    alpha, lms, temp = 1.0, 1.1, 0.9
+
+    def xla_chain(b, use_argmax):
+        lo = SuffStats(jnp.asarray(counts[b]), jnp.asarray(sum_x[b]),
+                       jnp.asarray(sum_sq[b]))
+        params = dcov.predictive_params(prior, lo)
+
+        def step(carry, inp):
+            stats_b, p_b = carry
+            e, g = inp
+            ok = e >= 0
+            x = X[jnp.maximum(e, 0)]
+            c = stats_b.counts.astype(jnp.float32)
+            w = (1.0 if use_argmax else lms) * jnp.log(alpha / K + c)
+            post = dcov.log_post_pred(p_b, x)
+            logits = w + jnp.where(stats_b.counts > 0, post,
+                                   lpv[jnp.maximum(e, 0)])
+            if use_argmax:
+                k = jnp.argmax(logits)
+            else:
+                k = jnp.argmax(jnp.where(jnp.isneginf(logits), -jnp.inf,
+                                         logits / temp + g))
+            k = canonicalize_new_component(stats_b.counts, k)
+            stats_b = add_item(stats_b, x, k, weight=ok.astype(jnp.int32))
+            p_b = dcov.update_predictive_row(prior, stats_b, p_b, k)
+            return (stats_b, p_b), jnp.where(ok, k.astype(jnp.int32), -1)
+
+        (_, _), ks = jax.lax.scan(
+            step, (lo, params), (jnp.asarray(embeds[b]), jnp.asarray(gumb[b])))
+        return np.asarray(ks)
+
+    for use_argmax in (False, True):
+        ks_ref = np.stack([xla_chain(b, use_argmax) for b in range(B)])
+        ks_pal = diag_chain(
+            jnp.asarray(embeds), X[jnp.maximum(jnp.asarray(embeds), 0)],
+            lpv[jnp.maximum(jnp.asarray(embeds), 0)], jnp.asarray(gumb),
+            jnp.asarray(counts), jnp.asarray(sum_x), jnp.asarray(sum_sq),
+            prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
+            jnp.float32(temp), alpha=alpha, K=K,
+            lms=1.0 if use_argmax else lms, use_argmax=use_argmax,
+            interpret=True)
+        npt.assert_array_equal(np.asarray(ks_pal), ks_ref,
+                               err_msg=f"use_argmax={use_argmax}")
+
+
+def test_lgamma_stirling_accuracy():
+    from scipy.special import gammaln as sp_gammaln
+
+    from segmentalist_tpu.ops.pallas_chain import _lgamma_stirling
+
+    z = jnp.asarray(np.concatenate([
+        np.arange(0.5, 12.0, 0.5), np.array([25.0, 100.5, 1000.0])
+    ]).astype(np.float64))
+    got = np.asarray(_lgamma_stirling(z))
+    npt.assert_allclose(got, sp_gammaln(np.asarray(z)), rtol=1e-7, atol=1e-7)
