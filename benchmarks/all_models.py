@@ -111,6 +111,21 @@ def main():
         lambda s, n: s.gibbs_sample(n))
     run("segmental k-means", build_km, lambda s, n: s.segment(n))
     run("bigram FBGMM + smooth LM", build_bi, lambda s, n: s.gibbs_sample(n))
+    def build_diag(em, vi, du, lm):
+        from segmentalist_tpu.priors import NIW
+
+        diag_prior = NIW.create(np.zeros(D, np.float32), 0.05,
+                                float(D) + 3.0,
+                                0.05 * np.ones(D, dtype=np.float32))
+        np.random.seed(0)
+        return UnigramAcousticWordseg(
+            FBGMM, am_alpha=1.0, am_K=K, am_param_prior=diag_prior,
+            embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+            landmarks_dict=lm, covariance_type="diag", p_boundary_init=0.5,
+            beta_sent_boundary=-1, n_slices_max=W, batch_size=B, seed=0)
+
+    run("unigram FBGMM (diag)", build_diag,
+        lambda s, n: s.gibbs_sample(n))
     run("unigram FBGMM (full NIW)", build_full,
         lambda s, n: s.gibbs_sample(n))
 
