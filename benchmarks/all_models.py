@@ -105,7 +105,7 @@ def main():
             FBGMM, am_alpha=1.0, am_K=K, am_param_prior=full_prior,
             embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
             landmarks_dict=lm, covariance_type="full", p_boundary_init=0.5,
-            beta_sent_boundary=-1, n_slices_max=W, batch_size=64, seed=0)
+            beta_sent_boundary=-1, n_slices_max=W, batch_size=B, seed=0)
 
     run("unigram FBGMM (fixed var)", build_uni,
         lambda s, n: s.gibbs_sample(n))

@@ -149,12 +149,10 @@ def update_predictive_row(prior: NIW, stats: SuffStats, params: PredParams, k):
     )
 
 
-def _mvt_logpdf(x, mu, inv_covar, logdet_covar, v):
-    """Multivariate Student's t log-density
-    (reference ``_multivariate_students_t``, ``gaussian_components.py:334-344``)."""
-    D = x.shape[-1]
-    delta = x - mu
-    maha = jnp.einsum("...d,...de,...e->...", delta, inv_covar, delta)
+def _student_t_from_maha(maha, logdet_covar, v, D: int):
+    """Multivariate Student's t log-density from a precomputed Mahalanobis
+    quadratic form (shared by the dense scorer and the touched-component
+    correction path in ``segmenters/fullcov.py``)."""
     return (
         gammaln((v + D) / 2.0)
         - gammaln(v / 2.0)
@@ -165,34 +163,47 @@ def _mvt_logpdf(x, mu, inv_covar, logdet_covar, v):
     )
 
 
+def _mvt_logpdf(x, mu, inv_covar, logdet_covar, v):
+    """Multivariate Student's t log-density
+    (reference ``_multivariate_students_t``, ``gaussian_components.py:334-344``)."""
+    D = x.shape[-1]
+    delta = x - mu
+    maha = jnp.einsum("...d,...de,...e->...", delta, inv_covar, delta)
+    return _student_t_from_maha(maha, logdet_covar, v, D)
+
+
 def log_post_pred(params: PredParams, x: jnp.ndarray) -> jnp.ndarray:
     """[K] log posterior predictive of ``x`` under every slot
     (reference ``log_post_pred``, ``gaussian_components.py:228-251``)."""
     return _mvt_logpdf(x, params.mu, params.inv_covar, params.logdet_covar, params.v)
 
 
-def log_post_pred_batch(params: PredParams, X: jnp.ndarray) -> jnp.ndarray:
+def log_post_pred_batch(params: PredParams, X: jnp.ndarray,
+                        precision=None) -> jnp.ndarray:
     """[M, K] scores.  The Mahalanobis form expands into matmuls:
-        d' A d = x'Ax - 2 x'(A mu) + mu'A mu  with A = inv_covar[k]."""
+        d' A d = x'Ax - 2 x'(A mu) + mu'A mu  with A = inv_covar[k].
+
+    ``precision``: pass ``jax.lax.Precision.HIGHEST`` when the scores feed
+    an argmax over K (e.g. the assignment chains): the TPU's default f32
+    matmul runs bf16 passes whose error (~1e-2 relative) is amplified by the
+    cancellation in the expanded Mahalanobis form and is large enough to
+    flip assignments.  The default is fine for the logsumexp'ed candidate
+    marginals."""
     # x'Ax as ONE [M, D^2] x [D^2, K] matmul on the MXU (outer-product
     # feature expansion), instead of a double-contraction einsum.
     M, D_ = X.shape
     K_ = params.inv_covar.shape[0]
     xx = (X[:, :, None] * X[:, None, :]).reshape(M, D_ * D_)
-    xAx = xx @ params.inv_covar.reshape(K_, D_ * D_).T
-    Amu = jnp.einsum("kde,ke->kd", params.inv_covar, params.mu)  # [K, D]
-    xAmu = X @ Amu.T  # [M, K]
+    xAx = jnp.matmul(xx, params.inv_covar.reshape(K_, D_ * D_).T,
+                     precision=precision)
+    Amu = jnp.einsum("kde,ke->kd", params.inv_covar, params.mu,
+                     precision=precision)  # [K, D]
+    xAmu = jnp.matmul(X, Amu.T, precision=precision)  # [M, K]
     muAmu = jnp.sum(params.mu * Amu, axis=-1)  # [K]
     maha = xAx - 2.0 * xAmu + muAmu[None, :]
     D = X.shape[-1]
-    v = params.v[None, :]
-    return (
-        gammaln((v + D) / 2.0)
-        - gammaln(v / 2.0)
-        - D / 2.0 * jnp.log(v)
-        - D / 2.0 * _LOG_PI
-        - 0.5 * params.logdet_covar[None, :]
-        - (v + D) / 2.0 * jnp.log1p(maha / v)
+    return _student_t_from_maha(
+        maha, params.logdet_covar[None, :], params.v[None, :], D
     )
 
 

@@ -96,22 +96,24 @@ def _forward_xla(rev_scores: Array, lengths: Array, lpc, use_max: bool) -> Array
 def _visited_closure(p: Array, lengths: Array) -> Array:
     """[B, N + 1] mask of nodes on the chain ``length -> p(length) -> ... -> 0``.
 
-    ``p`` [B, N + 1] is strictly decreasing (p(v) < v for v >= 1, p(0) = 0),
-    so the reachability matrix closes after ceil(log2(N + 1)) squarings of
-    ``R = I | onehot(p)`` -- batched [N+1, N+1] matmuls instead of a
-    sequential pointer chase.
+    Parallel pointer doubling: after round i the mask holds the first 2^i
+    chain nodes and ``jump = p^(2^i)``, so ceil(log2(N + 1)) rounds of
+    O(B * N) gathers/scatters cover the whole chain (``p`` is strictly
+    decreasing for v >= 1 with p(0) = 0, so the chain has at most N + 1
+    nodes).  Replaces an earlier boolean matrix-squaring closure that cost
+    O(B * N^2) memory and O(B * N^3 * log N) flops.
     """
     B, N1 = p.shape
-    dtype = jnp.float32
-    R = jax.nn.one_hot(p, N1, dtype=dtype)
-    R = jnp.maximum(R, jnp.eye(N1, dtype=dtype)[None])
+    rows = jnp.arange(B)[:, None]
+    m = jnp.arange(N1)[None, :] == lengths.astype(jnp.int32)[:, None]
+    jump = p
     for _ in range(max(1, math.ceil(math.log2(N1)))):
-        R = jnp.minimum(jnp.matmul(R, R), 1.0)
-    start = jnp.take_along_axis(
-        R, lengths.astype(jnp.int32)[:, None, None].clip(0),
-        axis=1,
-    )[:, 0, :]  # row `length` of each closure matrix
-    return start > 0.5
+        hit = jnp.zeros((B, N1), jnp.int32).at[rows, jump].max(
+            m.astype(jnp.int32)
+        )
+        m = m | (hit > 0)
+        jump = jnp.take_along_axis(jump, jump, axis=1)
+    return m
 
 
 @functools.partial(

@@ -17,7 +17,6 @@ counts before sampling and re-adds them afterwards, ``:410, :496``).
 from __future__ import annotations
 
 import logging
-import math
 import time
 from typing import Optional
 
@@ -41,7 +40,6 @@ from .common import (
     gather_block_segments,
     leave_out_stats,
     masked_candidate_scores,
-    merge_flat,
     pad_utterance_order,
     segments_from_boundaries,
     utterance_contrib,
@@ -358,7 +356,6 @@ class BigramAcousticWordseg:
                           assignments_only):
         am = self.acoustic_model
         sweep = self._get_sweep_fn(bool(assignments_only))
-        log_p_continue = math.log(self.calc_p_continue())
         assign_temp = anneal_temp if anneal_gibbs_am else 1.0
         from .common import place_blocks
 
@@ -369,7 +366,6 @@ class BigramAcousticWordseg:
             am.key, blocks_dev,
             np.asarray(anneal_temp, dtype=am.X.dtype),
             np.asarray(assign_temp, dtype=am.X.dtype),
-            np.asarray(log_p_continue, dtype=am.X.dtype),
         )
         return log_prob
 
@@ -446,7 +442,13 @@ class BigramAcousticWordseg:
 
         return log_prob_z
 
-    def _build_sweep_fn(self, assignments_only: bool):
+    def _make_block_step(self, B: int, pallas: bool, reduce_fn,
+                         assignments_only: bool):
+        """Per-block bigram Gibbs update, shared by the single-device sweep
+        (``reduce_fn`` = identity) and the shard_map sweep (``reduce_fn`` =
+        ``psum``); see ``UnigramAcousticWordseg._make_block_step``.  The LM
+        count-table deltas are additive, so under shard_map they ride the
+        same ``psum`` as the acoustic-statistic deltas."""
         am = self.acoustic_model
         cov, prior = am.cov, am.prior
         X = am.X
@@ -454,17 +456,14 @@ class BigramAcousticWordseg:
         log_prior_vec = am.log_prior_vec
         full_cov = cov.FULL_COV
         utt = self.utterances
-        seg_ids_all = utt.seg_ids
-        seg_durs_all = utt.seg_durations
-        lengths_all = utt.lengths_dev
         N_max = utt.N_max
         W_store = utt.W
         W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 else N_max
         n_min = self.n_slices_min
         tpt = self.time_power_term
         wip = self.wip
-        B = self.batch_size
-        on_mesh = getattr(self, "_mesh", None) is not None
+        beta_sb = float(self.beta_sent_boundary)
+        n_sentences = self.utterances.D - 1
         lam, a, b, K_lm = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         assert K_lm == K_max
 
@@ -475,12 +474,24 @@ class BigramAcousticWordseg:
             fill = -1 if jnp.issubdtype(arr.dtype, jnp.integer) else jnp.nan
             return jnp.pad(arr, pad, constant_values=fill)
 
+        def log_p_continue_dev(counts):
+            """In-sweep Beta sentence-boundary term (reference
+            ``calc_p_continue``, bigram_acoustic_wordseg.py:697-715); avoids
+            a per-sweep synchronous host fetch."""
+            if beta_sb == -1:
+                return jnp.zeros((), X.dtype)
+            n_tokens = jnp.sum(counts).astype(X.dtype)
+            n_continue = n_tokens - n_sentences
+            return jnp.log(
+                (n_continue + beta_sb / 2.0) / (n_tokens + beta_sb)
+            )
+
         def lm_unigram_logw(uni_lo_b):
             c = uni_lo_b.astype(X.dtype)
             return lms * (jnp.log(c + a / K_max) - jnp.log(jnp.sum(c) + a))
 
         pallas_chain_ok = (not full_cov and hasattr(prior, "var")
-                           and not on_mesh)
+                           and pallas)
 
         def assignment_chain(lo_b, params_b, uni_lo_b, big_table, big_corr_j,
                              big_corr_i, embeds_b, gumb_b, temp):
@@ -541,126 +552,242 @@ class BigramAcousticWordseg:
             )
             return ks
 
-        @jax.jit
-        def sweep(stats, assignments, boundaries, lm_state, key, blocks,
-                  anneal_temp, assign_temp, log_p_continue):
-            def block_step(carry, idx_blk):
-                stats, assignments, boundaries, lm_state, key, lp_total = carry
-                valid = idx_blk >= 0
-                idx = jnp.maximum(idx_blk, 0)
-                lengths_blk = jnp.where(valid, lengths_all[idx], 0)
-                seg_ids_blk = seg_ids_all[idx]
-                seg_durs_blk = seg_durs_all[idx]
-                bounds_blk = boundaries[idx]
+        from .fullcov import (
+            corrected_candidate_post,
+            counts_contrib,
+            fullcov_chain,
+            touched_leave_out,
+        )
 
-                # Old segments, transcripts and LM/AM leave-outs.
-                old_embeds, _ = gather_block_segments(
-                    bounds_blk, lengths_blk, seg_ids_blk
+        def bigram_weight_fn(big_table):
+            """Mixture-weight term for the full-covariance chain: the smooth
+            interpolated bigram conditional given the previously sampled
+            component (reference gibbs_sample_inside_loop_i_embed,
+            bigram_acoustic_wordseg.py:332-384), with the utterance's own OLD
+            pairs removed from the global table rows on the fly."""
+
+            def weight_fn(counts, j_prev, aux_b):  # noqa: ARG001
+                uni_w, uni_prob, uni_lo_b, big_corr_j, onehot_pi = aux_b
+                j_s = jnp.maximum(j_prev, 0)
+                row = big_table[j_s].astype(X.dtype)
+                sel = (big_corr_j == j_s).astype(X.dtype)
+                row = row - sel @ onehot_pi
+                uni_j = uni_lo_b[j_s].astype(X.dtype)
+                p_cond = lam * uni_prob + (1.0 - lam) * (row + b / K_max) / (
+                    uni_j + b
                 )
-                old_ks = jnp.where(
-                    old_embeds >= 0, assignments[jnp.maximum(old_embeds, 0)], -1
-                )
+                return jnp.where(j_prev >= 0, lms * jnp.log(p_cond), uni_w)
+
+            return weight_fn
+
+        def block_step(carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                       anneal_temp, assign_temp):
+            stats, assignments, boundaries, lm_state, key, lp_total = carry
+            valid = idx_blk >= 0
+            idx = jnp.maximum(idx_blk, 0)
+            lengths_blk = jnp.where(valid, lengths_all[idx], 0)
+            seg_ids_blk = seg_ids_all[idx]
+            seg_durs_blk = seg_durs_all[idx]
+            bounds_blk = boundaries[idx]
+
+            # Old segments, transcripts and LM/AM leave-outs.
+            old_embeds, _ = gather_block_segments(
+                bounds_blk, lengths_blk, seg_ids_blk
+            )
+            old_ks = jnp.where(
+                old_embeds >= 0, assignments[jnp.maximum(old_embeds, 0)], -1
+            )
+            pj, pi = transcript_pairs_batch(old_ks)
+            if full_cov:
+                lo = params_b = None
+                cnt_c = counts_contrib(old_ks, old_embeds >= 0, K_max)
+                lo_counts = stats.counts[None] - cnt_c
+                uni_lo = lm_state.unigram_counts[None] - cnt_c
+                params_g = cov.predictive_params(prior, stats)
+                touched = touched_leave_out(prior, stats, X, old_embeds,
+                                            old_ks)
+            else:
                 old_contrib = utterance_contrib(X, old_embeds, old_ks, K_max,
                                                 full_cov)
                 lo = leave_out_stats(stats, old_contrib)
+                lo_counts = lo.counts
                 uni_lo = lm_state.unigram_counts[None] - old_contrib.counts
-                pj, pi = transcript_pairs_batch(old_ks)
+                params_b = jax.vmap(
+                    lambda s: cov.predictive_params(prior, s)
+                )(lo)
 
-                # Boundary resampling with unigram-marginal scores
-                # (get_vec_embed_log_probs_unigram, :673-692).
-                params_b = jax.vmap(lambda s: cov.predictive_params(prior, s))(lo)
-                key, k_dp, k_assign = jax.random.split(key, 3)
-                if not assignments_only:
-                    cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
-                    Xc = X[jnp.maximum(cand_ids, 0)]
+            # Boundary resampling with unigram-marginal scores
+            # (get_vec_embed_log_probs_unigram, :673-692).
+            key, k_dp, k_assign = jax.random.split(key, 3)
+            if not assignments_only:
+                cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
+                Xc = X[jnp.maximum(cand_ids, 0)]
+                if full_cov:
+                    M = N_max * W_dp
+                    post = cov.log_post_pred_batch(
+                        params_g, Xc.reshape(B * M, -1)
+                    ).reshape(B, M, K_max)
+                    post = corrected_candidate_post(post, Xc, touched, K_max)
+                else:
                     post = jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
-                    w_b = jax.vmap(lm_unigram_logw)(uni_lo)
-                    prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
-                    logits = w_b[:, None, :] + jnp.where(
-                        (lo.counts > 0)[:, None, :], post, prior_c[..., None]
-                    )
-                    log_margs = logsumexp(logits, axis=-1).reshape(
-                        B, N_max, W_dp
-                    )
-                    scores = masked_candidate_scores(
-                        log_margs, dp_slice(seg_ids_blk),
-                        dp_slice(seg_durs_blk), tpt, wip,
-                    )
-                    log_prob, new_bounds = dp_ops.segment_dp(
-                        scores, lengths_blk, k_dp, log_p_continue, anneal_temp,
-                        n_slices_min=n_min, n_slices_max=W_dp, mode="sample",
-                        use_pallas=False if on_mesh else None,
-                    )
-                    new_embeds, _ = gather_block_segments(
-                        new_bounds, lengths_blk, seg_ids_blk
-                    )
-                else:
-                    log_prob = jnp.zeros((B,), X.dtype)
-                    new_bounds = bounds_blk
-                    new_embeds = old_embeds
-
-                # Sequential bigram-conditioned assignment chains.
-                gumbel = jax.random.gumbel(
-                    k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
+                w_b = jax.vmap(lm_unigram_logw)(uni_lo)
+                prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+                logits = w_b[:, None, :] + jnp.where(
+                    (lo_counts > 0)[:, None, :], post, prior_c[..., None]
                 )
-                big_table = lm_state.bigram_counts
-                if pallas_chain_ok:
-                    from ..ops.pallas_chain import bigram_fixedvar_chain
-
-                    new_ks = bigram_fixedvar_chain(
-                        new_embeds, X[jnp.maximum(new_embeds, 0)],
-                        log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
-                        lo.counts, lo.sum_x,
-                        prior.var, prior.var_0, prior.mu_0, assign_temp,
-                        uni_lo, big_table, pj, pi,
-                        alpha_a=a, intrp_lambda=lam, b_smooth=b,
-                        K=K_max, lms=lms,
-                        interpret=jax.default_backend() != "tpu",
-                    )
-                else:
-                    new_ks = jax.vmap(
-                        lambda lo_b, p_b, u_b, cj, ci, e_b, g_b:
-                        assignment_chain(
-                            lo_b, p_b, u_b, big_table, cj, ci, e_b, g_b,
-                            assign_temp
-                        )
-                    )(lo, params_b, uni_lo, pj, pi, new_embeds, gumbel)
-
-                # Merge acoustic stats / assignments / boundaries (flat
-                # scatters on both sides).
-                old_flat_contrib = flat_contrib(X, old_embeds, old_ks, K_max,
-                                                full_cov, valid)
-                new_flat_contrib = flat_contrib(X, new_embeds, new_ks, K_max,
-                                                full_cov, valid)
-                stats = merge_flat(stats, old_flat_contrib, new_flat_contrib)
-                vmask = valid[:, None]
-                oob = assignments.shape[0]
-                old_flat = jnp.where(
-                    vmask & (old_embeds >= 0), old_embeds, oob
-                ).reshape(-1)
-                assignments = assignments.at[old_flat].set(-1, mode="drop")
-                new_flat = jnp.where(
-                    vmask & (new_embeds >= 0), new_embeds, oob
-                ).reshape(-1)
-                assignments = assignments.at[new_flat].set(
-                    new_ks.reshape(-1), mode="drop"
+                log_margs = logsumexp(logits, axis=-1).reshape(
+                    B, N_max, W_dp
                 )
-                idx_w = jnp.where(valid, idx, boundaries.shape[0])
-                boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
+                scores = masked_candidate_scores(
+                    log_margs, dp_slice(seg_ids_blk),
+                    dp_slice(seg_durs_blk), tpt, wip,
+                )
+                log_prob, new_bounds = dp_ops.segment_dp(
+                    scores, lengths_blk, k_dp,
+                    log_p_continue_dev(stats.counts), anneal_temp,
+                    n_slices_min=n_min, n_slices_max=W_dp, mode="sample",
+                    use_pallas=None if pallas else False,
+                )
+                new_embeds, _ = gather_block_segments(
+                    new_bounds, lengths_blk, seg_ids_blk
+                )
+            else:
+                log_prob = jnp.zeros((B,), X.dtype)
+                new_bounds = bounds_blk
+                new_embeds = old_embeds
 
-                # Merge LM counts: remove old transcripts, add new ones --
-                # counts are additive, so the whole block is two scatters.
-                lm_state = add_block_counts(lm_state, old_ks, valid, sign=-1)
-                lm_state = add_block_counts(lm_state, new_ks, valid, sign=1)
+            # Sequential bigram-conditioned assignment chains.
+            gumbel = jax.random.gumbel(
+                k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
+            )
+            big_table = lm_state.bigram_counts
+            if full_cov:
+                S = new_embeds.shape[1]
+                # HIGHEST: these scores feed an argmax over K (see
+                # components_full.log_post_pred_batch docstring).
+                G_new = cov.log_post_pred_batch(
+                    params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, -1),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(B, S, K_max)
+                onehot_pi = (
+                    jax.nn.one_hot(jnp.maximum(pi, 0), K_max, dtype=X.dtype)
+                    * (pi >= 0).astype(X.dtype)[..., None]
+                )  # [B, S, K]
+                aux = (
+                    jax.vmap(lm_unigram_logw)(uni_lo),
+                    (uni_lo.astype(X.dtype) + a / K_max)
+                    / (jnp.sum(uni_lo, axis=-1, keepdims=True).astype(X.dtype)
+                       + a),
+                    uni_lo, pj, onehot_pi,
+                )
+                new_ks = fullcov_chain(
+                    prior, X, stats, lo_counts, touched, new_embeds, G_new,
+                    gumbel, log_prior_vec, 0.0, K_max, lms, assign_temp,
+                    use_argmax=False, weight_fn=bigram_weight_fn(big_table),
+                    aux_args=aux,
+                )
+            elif pallas_chain_ok:
+                from ..ops.pallas_chain import bigram_fixedvar_chain
 
-                lp_total = lp_total + jnp.sum(jnp.where(valid, log_prob, 0.0))
-                return (stats, assignments, boundaries, lm_state, key,
-                        lp_total), None
+                new_ks = bigram_fixedvar_chain(
+                    new_embeds, X[jnp.maximum(new_embeds, 0)],
+                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    lo.counts, lo.sum_x,
+                    prior.var, prior.var_0, prior.mu_0, assign_temp,
+                    uni_lo, big_table, pj, pi,
+                    alpha_a=a, intrp_lambda=lam, b_smooth=b,
+                    K=K_max, lms=lms,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                new_ks = jax.vmap(
+                    lambda lo_b, p_b, u_b, cj, ci, e_b, g_b:
+                    assignment_chain(
+                        lo_b, p_b, u_b, big_table, cj, ci, e_b, g_b,
+                        assign_temp
+                    )
+                )(lo, params_b, uni_lo, pj, pi, new_embeds, gumbel)
+
+            # Merge acoustic stats / LM counts / assignments / boundaries.
+            # All deltas are additive, so under shard_map ``reduce_fn`` psums
+            # them before they are applied to the replicated state.
+            old_ks_masked = jnp.where(valid[:, None], old_ks, -1)
+            old_flat_contrib = flat_contrib(X, old_embeds, old_ks_masked,
+                                            K_max, full_cov, valid)
+            new_flat_contrib = flat_contrib(X, new_embeds, new_ks, K_max,
+                                            full_cov, valid)
+            zero_lm = BigramLMState(
+                unigram_counts=jnp.zeros((K_max,), jnp.int32),
+                bigram_counts=jnp.zeros((K_max, K_max), jnp.int32),
+            )
+            lm_delta = add_block_counts(
+                add_block_counts(zero_lm, old_ks, valid, sign=-1),
+                new_ks, valid, sign=1,
+            )
+            stats_delta = jax.tree.map(
+                lambda n, o: n - o, new_flat_contrib, old_flat_contrib
+            )
+            stats_delta, lm_delta = reduce_fn((stats_delta, lm_delta))
+            stats = jax.tree.map(
+                lambda g, d: (g + d).astype(g.dtype), stats, stats_delta
+            )
+            lm_state = jax.tree.map(
+                lambda g, d: (g + d).astype(g.dtype), lm_state, lm_delta
+            )
+
+            vmask = valid[:, None]
+            oob = assignments.shape[0]
+            mask = jnp.zeros((oob,), jnp.int32)
+            val = jnp.zeros((oob,), jnp.int32)
+            old_flat = jnp.where(
+                vmask & (old_embeds >= 0), old_embeds, oob
+            ).reshape(-1)
+            mask = mask.at[old_flat].set(1, mode="drop")
+            val = val.at[old_flat].set(-1, mode="drop")
+            new_flat = jnp.where(
+                vmask & (new_embeds >= 0), new_embeds, oob
+            ).reshape(-1)
+            mask = mask.at[new_flat].set(1, mode="drop")
+            val = val.at[new_flat].set(
+                new_ks.reshape(-1).astype(jnp.int32), mode="drop"
+            )
+            mask, val = reduce_fn((mask, val))
+            assignments = jnp.where(mask > 0, val, assignments)
+
+            idx_w = jnp.where(valid, idx, boundaries.shape[0])
+            boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
+            lp_total = lp_total + reduce_fn(
+                jnp.sum(jnp.where(valid, log_prob, 0.0))
+            )
+            return (stats, assignments, boundaries, lm_state, key, lp_total)
+
+        return block_step
+
+    def _build_sweep_fn(self, assignments_only: bool):
+        on_mesh = getattr(self, "_mesh", None) is not None
+        block_step = self._make_block_step(
+            self.batch_size, pallas=not on_mesh, reduce_fn=lambda t: t,
+            assignments_only=assignments_only,
+        )
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        dtype = self.acoustic_model.X.dtype
+
+        @jax.jit
+        def sweep(stats, assignments, boundaries, lm_state, key, blocks,
+                  anneal_temp, assign_temp):
+            def f(carry, idx_blk):
+                return block_step(
+                    carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                    anneal_temp, assign_temp,
+                ), None
 
             init = (stats, assignments, boundaries, lm_state, key,
-                    jnp.zeros((), X.dtype))
+                    jnp.zeros((), dtype))
             (stats, assignments, boundaries, lm_state, key, lp_total), _ = (
-                jax.lax.scan(block_step, init, blocks)
+                jax.lax.scan(f, init, blocks)
             )
             return stats, assignments, boundaries, lm_state, key, lp_total
 

@@ -1,0 +1,265 @@
+"""Touched-component machinery for the full-covariance (NIW) sweep.
+
+The naive blocked full-covariance sweep materialises leave-one-utterance-out
+sufficient statistics and predictive parameters for *every* (utterance, slot)
+pair -- [B, K, D, D] tensors -- and factorises B*K tiny matrices per block.
+At Buckeye scale that is ~10^6 Cholesky factorisations per sweep and hundreds
+of MB of HBM traffic, 15x slower than the fixed-variance flagship
+(PERFORMANCE.md).
+
+This module implements the exact algebraic shortcut: a left-out utterance's
+statistics differ from the global statistics only for the <= S components its
+own segments are assigned to.  So
+
+  1. derive predictive parameters ONCE per block from the *global* statistics
+     ([K, D, D], one batched Cholesky of K matrices);
+  2. score all candidates against them in one [B*M, D^2] x [D^2, K] MXU
+     matmul (``components_full.log_post_pred_batch``);
+  3. compute corrected parameters only for each utterance's own touched
+     components ([B, S] Choleskys) and overwrite those <= S columns.
+
+The assignment chain keeps the same sparse view: a per-utterance "touched
+set" of at most S_old + S_new component slots carries live statistics and
+predictive parameters through the scan; all other components keep their
+block-global scores.  All conditionals are bit-for-bit the same math as the
+dense path (each score is still the exact leave-one-utterance-out posterior
+predictive), so the sampled chain's distribution is unchanged.
+
+Reference math being scored: ``gaussian_components.py:228-251`` (Student-t
+predictive), ``:161-167`` (posterior stats); removal-before-scoring semantics
+``unigram_acoustic_wordseg.py:270-273``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.components_full import (
+    PredParams,
+    _chol_inv_logdet,
+    _derive_covar,
+    _student_t_from_maha,
+)
+from ..models.fbgmm import log_weights
+from ..ops.random import NEG_INF
+from ..ops.stats import canonicalize_new_component
+
+Array = jnp.ndarray
+
+# Every contraction in this module runs at full f32 precision: the TPU's
+# default f32 matmul uses bf16 MXU passes whose error (measured ~3e-2
+# relative, up to ~0.8 absolute on leave-out statistics at benchmark scale)
+# is amplified by the global-minus-contribution cancellation and flips
+# assignment-chain argmaxes; round-1's dense path was exact by construction
+# (segment_sum statistics + delta-form Mahalanobis).
+_HI = jax.lax.Precision.HIGHEST
+
+
+class Touched(NamedTuple):
+    """Per-utterance touched-component view (all [B, S, ...]).
+
+    tk      [B, S]        touched component ids; -1 for pads and duplicates
+    counts  [B, S]        leave-one-utterance-out member counts
+    sum_x   [B, S, D]     leave-out first-moment sums
+    sum_sq  [B, S, D, D]  leave-out second-moment sums
+    params  PredParams    leave-out predictive parameters, [B, S, ...]
+    """
+
+    tk: Array
+    counts: Array
+    sum_x: Array
+    sum_sq: Array
+    params: PredParams
+
+
+def touched_leave_out(prior, stats, X, old_embeds, old_ks) -> Touched:
+    """Leave-one-utterance-out statistics restricted to the components each
+    utterance actually touches (its old segments' assignments).
+
+    Duplicate component ids within an utterance are collapsed to their first
+    occurrence (later slots get tk = -1): each touched component's correction
+    subtracts the utterance's FULL contribution to it, so one slot suffices.
+    """
+    B, S = old_ks.shape
+    dtype = X.dtype
+    valid = (old_embeds >= 0) & (old_ks >= 0)
+    ks_safe = jnp.maximum(old_ks, 0)
+
+    # same[b, j, s]: slot s holds the same (valid) component as slot j.
+    same = (
+        (old_ks[:, :, None] == old_ks[:, None, :])
+        & valid[:, :, None]
+        & valid[:, None, :]
+    )
+    earlier = jnp.tril(jnp.ones((S, S), bool), -1)
+    is_dup = jnp.any(same & earlier[None], axis=-1)
+    tk = jnp.where(valid & ~is_dup, old_ks, -1)
+
+    x_old = X[jnp.maximum(old_embeds, 0)]
+    x_old = jnp.where(valid[:, :, None], x_old, 0.0)
+    same_f = same.astype(dtype)
+    contrib_counts = jnp.sum(same, axis=-1).astype(stats.counts.dtype)
+    contrib_sum_x = jnp.einsum("bjs,bsd->bjd", same_f, x_old,
+                               precision=_HI)
+    contrib_sum_sq = jnp.einsum("bjs,bsd,bse->bjde", same_f, x_old, x_old,
+                                precision=_HI)
+
+    lo_counts = stats.counts[ks_safe] - contrib_counts
+    lo_sum_x = stats.sum_x[ks_safe] - contrib_sum_x
+    lo_sum_sq = stats.sum_sq[ks_safe] - contrib_sum_sq
+
+    m_n, covar, v = _derive_covar(prior, lo_counts, lo_sum_x, lo_sum_sq)
+    inv, logdet = _chol_inv_logdet(covar)
+    params = PredParams(mu=m_n, inv_covar=inv, logdet_covar=logdet, v=v)
+    return Touched(tk=tk, counts=lo_counts, sum_x=lo_sum_x,
+                   sum_sq=lo_sum_sq, params=params)
+
+
+def counts_contrib(old_ks, valid_mask, K_max: int) -> Array:
+    """[B, K] per-utterance component-count contribution (counts only --
+    the full-cov path never materialises [B, K, D(,D)] moment tensors)."""
+    B, S = old_ks.shape
+    ok = (old_ks >= 0) & valid_mask
+    seg = jnp.where(ok, old_ks, K_max)
+    onehot = jax.nn.one_hot(seg, K_max + 1, dtype=jnp.int32)
+    return jnp.sum(onehot, axis=1)[:, :K_max]
+
+
+def corrected_candidate_post(post, Xc, touched: Touched, K_max: int) -> Array:
+    """Overwrite the touched columns of the [B, M, K] global-parameter scores
+    with each utterance's exact leave-out scores (<= S columns per row)."""
+    B, M, _ = post.shape
+    D = Xc.shape[-1]
+    t_inv = touched.params.inv_covar  # [B, S, D, D]
+    t_mu = touched.params.mu
+    xx = (Xc[:, :, :, None] * Xc[:, :, None, :]).reshape(B, M, D * D)
+    xAx = jnp.einsum("bmf,btf->bmt", xx, t_inv.reshape(B, -1, D * D),
+                     precision=_HI)
+    Amu = jnp.einsum("btde,bte->btd", t_inv, t_mu, precision=_HI)
+    xAmu = jnp.einsum("bmd,btd->bmt", Xc, Amu, precision=_HI)
+    muAmu = jnp.sum(t_mu * Amu, axis=-1)  # [B, S]
+    maha = xAx - 2.0 * xAmu + muAmu[:, None, :]
+    c = _student_t_from_maha(
+        maha, touched.params.logdet_covar[:, None, :],
+        touched.params.v[:, None, :], D,
+    )  # [B, M, S]
+    col = jnp.where(touched.tk >= 0, touched.tk, K_max)  # [B, S]
+    b_idx = jnp.arange(B)[:, None]
+    return post.at[b_idx, :, col].set(jnp.swapaxes(c, 1, 2), mode="drop")
+
+
+def fullcov_chain(prior, X, stats, lo_counts, touched: Touched, new_embeds,
+                  base_scores, gumbel, log_prior_vec, alpha, K_max: int,
+                  lms, temp, use_argmax: bool, weight_fn=None,
+                  aux_args=None) -> Array:
+    """Sequential within-utterance assignment resampling for full covariance,
+    carrying only the touched-component statistics (reference conditioning:
+    ``fbgmm.py:422-463``; for the bigram driver pass ``weight_fn``).
+
+    Arguments (per block):
+      lo_counts    [B, K]     leave-out counts (the chain updates its own copy)
+      touched      Touched    initial touched set from ``touched_leave_out``
+      new_embeds   [B, S_new] embedding ids of the new segments (-1 pads)
+      base_scores  [B, S_new, K] global-parameter scores of the new embeds
+      gumbel       [B, S_new, K]
+      weight_fn    optional (counts, j_prev, aux_b) -> [K] mixture-weight
+                   term; defaults to the unigram collapsed-Dirichlet term.
+                   ``j_prev`` is the previous segment's sampled component
+                   (int32, -1 before the first; the bigram LM conditions on
+                   it) and ``aux_b`` the per-utterance slice of ``aux_args``.
+      aux_args     optional pytree of per-utterance arrays (leading dim B)
+                   passed through to ``weight_fn``.
+    """
+    B, S_new = new_embeds.shape
+    D = X.shape[-1]
+    S_old = touched.tk.shape[1]
+    T = S_old + S_new
+    dtype = X.dtype
+
+    def pad_slots(a, fill=0.0):
+        pad_shape = (B, S_new) + a.shape[2:]
+        return jnp.concatenate(
+            [a, jnp.full(pad_shape, fill, a.dtype)], axis=1
+        )
+
+    tk0 = pad_slots(touched.tk, -1)
+    t_sx0 = pad_slots(touched.sum_x)
+    t_ss0 = pad_slots(touched.sum_sq)
+    t_mu0 = pad_slots(touched.params.mu)
+    t_inv0 = pad_slots(touched.params.inv_covar)
+    t_ld0 = pad_slots(touched.params.logdet_covar)
+    t_v0 = pad_slots(touched.params.v, 1.0)
+
+    if weight_fn is None:
+        def weight_fn(counts, j_prev, aux_b):  # noqa: ARG001
+            return log_weights(counts, alpha, K_max, lms,
+                               include_denominator=False, dtype=dtype)
+    if aux_args is None:
+        aux_args = jnp.zeros((B,), jnp.int32)  # placeholder pytree
+
+    def one_chain(counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v,
+                  embeds, base_rows, gumb, lpr_rows, j_prev0, aux_b):
+        def step(carry, inp):
+            counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v, j_prev = carry
+            e, base, g, lpr = inp
+            ok = e >= 0
+            x = X[jnp.maximum(e, 0)]
+
+            # Exact leave-out scores: global columns + touched corrections.
+            delta = x[None, :] - t_mu  # [T, D]
+            maha = jnp.einsum("td,tde,te->t", delta, t_inv, delta,
+                              precision=_HI)
+            c = _student_t_from_maha(maha, t_ld, t_v, D)
+            post = base.at[jnp.where(tk >= 0, tk, K_max)].set(c, mode="drop")
+
+            w = weight_fn(counts, j_prev, aux_b)
+            logits = w + jnp.where(counts > 0, post, lpr)
+            if use_argmax:
+                k = jnp.argmax(logits)
+            else:
+                k = jnp.argmax(jnp.where(
+                    jnp.isneginf(logits), NEG_INF, logits / temp + g
+                ))
+            k = canonicalize_new_component(counts, k)
+
+            # Slot bookkeeping: reuse the component's slot or claim a free
+            # one (T = S_old + S_new guarantees a free slot exists).
+            match = tk == k
+            has = jnp.any(match)
+            slot = jnp.where(has, jnp.argmax(match), jnp.argmax(tk == -1))
+            # Untouched components' leave-out stats equal the global stats.
+            sx = jnp.where(has, t_sx[slot], stats.sum_x[k])
+            ss = jnp.where(has, t_ss[slot], stats.sum_sq[k])
+            okf = ok.astype(dtype)
+            sx = sx + okf * x
+            ss = ss + okf * (x[:, None] * x[None, :])
+            counts = counts.at[k].add(ok.astype(counts.dtype))
+
+            m_n, covar, v = _derive_covar(prior, counts[k], sx, ss)
+            inv, logdet = _chol_inv_logdet(covar)
+
+            slot_w = jnp.where(ok, slot, T)
+            tk = tk.at[slot_w].set(k.astype(tk.dtype), mode="drop")
+            t_sx = t_sx.at[slot_w].set(sx, mode="drop")
+            t_ss = t_ss.at[slot_w].set(ss, mode="drop")
+            t_mu = t_mu.at[slot_w].set(m_n, mode="drop")
+            t_inv = t_inv.at[slot_w].set(inv, mode="drop")
+            t_ld = t_ld.at[slot_w].set(logdet, mode="drop")
+            t_v = t_v.at[slot_w].set(v, mode="drop")
+            j_prev = jnp.where(ok, k.astype(jnp.int32), j_prev)
+            carry = (counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v, j_prev)
+            return carry, jnp.where(ok, k.astype(jnp.int32), -1)
+
+        init = (counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v, j_prev0)
+        _, ks = jax.lax.scan(step, init, (embeds, base_rows, gumb, lpr_rows))
+        return ks
+
+    j_prev0 = jnp.full((B,), -1, jnp.int32)
+    lpr = log_prior_vec[jnp.maximum(new_embeds, 0)]
+    return jax.vmap(one_chain)(
+        lo_counts, tk0, t_sx0, t_ss0, t_mu0, t_inv0, t_ld0, t_v0,
+        new_embeds, base_scores, gumbel, lpr, j_prev0, aux_args,
+    )

@@ -218,21 +218,22 @@ class SegmentalKMeansWordseg:
             self._sweep_fn = self._build_sweep_fn()
         return self._sweep_fn
 
-    def _build_sweep_fn(self):
+    def _make_block_step(self, B: int, pallas: bool, reduce_fn):
+        """Per-block segmental k-means update, shared by the single-device
+        sweep (``reduce_fn`` = identity) and the shard_map sweep
+        (``reduce_fn`` = ``psum``); see
+        ``UnigramAcousticWordseg._make_block_step``.  Only the assignment
+        mask/value updates cross shards: the component state is rebuilt from
+        the merged assignment vector, identically on every shard."""
         am = self.acoustic_model
         X = am.X
         K_max = am.K_max
         utt = self.utterances
-        seg_ids_all = utt.seg_ids
-        seg_durs_all = utt.seg_durations
-        lengths_all = utt.lengths_dev
         N_max = utt.N_max
         W_store = utt.W
         W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 else N_max
         n_min = self.n_slices_min
         wip = self.wip
-        B = self.batch_size
-        on_mesh = getattr(self, "_mesh", None) is not None
 
         def dp_slice(a):
             if W_store >= W_dp:
@@ -241,78 +242,106 @@ class SegmentalKMeansWordseg:
             fill = -1 if jnp.issubdtype(a.dtype, jnp.integer) else jnp.nan
             return jnp.pad(a, pad, constant_values=fill)
 
+        def block_step(carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                       random_means):
+            state, boundaries, key, obj_total = carry
+            valid = idx_blk >= 0
+            idx = jnp.maximum(idx_blk, 0)
+            lengths_blk = jnp.where(valid, lengths_all[idx], 0)
+            seg_ids_blk = seg_ids_all[idx]
+            seg_durs_blk = seg_durs_all[idx]
+            bounds_blk = boundaries[idx]
+
+            means = means_from_state(state, random_means)
+
+            # Old segments (deleted only after the DP, reference :310-320).
+            old_embeds, _ = gather_block_segments(
+                bounds_blk, lengths_blk, seg_ids_blk
+            )
+
+            # Candidate scores: best-component distance x duration + wip
+            # (kmeans_acoustic_wordseg.py:334-351; note the reference does
+            # NOT apply time_power_term here, :349).
+            cand_ids = dp_slice(seg_ids_blk).reshape(B * N_max * W_dp)
+            Xc = X[jnp.maximum(cand_ids, 0)]
+            best = jnp.max(neg_sqrd_norms(Xc, means), axis=-1)
+            best = best.reshape(B, N_max, W_dp)
+            durs = dp_slice(seg_durs_blk).astype(best.dtype)
+            scores = best * jnp.where(jnp.isnan(durs), 0.0, durs) + wip
+            invalid = (dp_slice(seg_ids_blk) < 0) | jnp.isnan(durs)
+            scores = jnp.where(invalid, NEG_INF, scores)
+
+            # Viterbi segmentation (forward_backward_kmeans_viterbi,
+            # kmeans_acoustic_wordseg.py:449-555).
+            key, k_dp = jax.random.split(key)
+            obj, new_bounds = dp_ops.segment_dp(
+                scores, lengths_blk, k_dp, 0.0, 1.0,
+                n_slices_min=n_min, n_slices_max=W_dp, mode="viterbi",
+                use_pallas=None if pallas else False,
+            )
+
+            # Argmax re-assignment with the frozen means (:436-442).
+            new_embeds, _ = gather_block_segments(
+                new_bounds, lengths_blk, seg_ids_blk
+            )
+            flat_new = new_embeds.reshape(-1)
+            Xn = X[jnp.maximum(flat_new, 0)]
+            new_ks = jnp.argmax(neg_sqrd_norms(Xn, means), axis=-1)
+            new_ks = new_ks.reshape(new_embeds.shape).astype(jnp.int32)
+            new_ks = jnp.where(new_embeds >= 0, new_ks, -1)
+
+            # Apply: merge the (disjoint) assignment updates -- psum'ed
+            # across shards under shard_map -- then rebuild the stats from
+            # the merged vector, identically everywhere.
+            vmask = valid[:, None]
+            oob = state.assignments.shape[0]
+            mask = jnp.zeros((oob,), jnp.int32)
+            val = jnp.zeros((oob,), jnp.int32)
+            old_flat = jnp.where(
+                vmask & (old_embeds >= 0), old_embeds, oob
+            ).reshape(-1)
+            mask = mask.at[old_flat].set(1, mode="drop")
+            val = val.at[old_flat].set(-1, mode="drop")
+            new_flat = jnp.where(
+                vmask & (new_embeds >= 0), new_embeds, oob
+            ).reshape(-1)
+            mask = mask.at[new_flat].set(1, mode="drop")
+            val = val.at[new_flat].set(new_ks.reshape(-1), mode="drop")
+            mask, val = reduce_fn((mask, val))
+            assignments = jnp.where(mask > 0, val, state.assignments)
+            state = kmeans_state_from_assignments(X, assignments, K_max)
+
+            idx_w = jnp.where(valid, idx, boundaries.shape[0])
+            boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
+            obj_total = obj_total + reduce_fn(
+                jnp.sum(jnp.where(valid, obj, 0.0))
+            )
+            return (state, boundaries, key, obj_total)
+
+        return block_step
+
+    def _build_sweep_fn(self):
+        on_mesh = getattr(self, "_mesh", None) is not None
+        block_step = self._make_block_step(
+            self.batch_size, pallas=not on_mesh, reduce_fn=lambda t: t
+        )
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        dtype = self.acoustic_model.X.dtype
+
         @jax.jit
         def sweep(state, random_means, boundaries, blocks, key):
-            def block_step(carry, idx_blk):
-                state, boundaries, key, obj_total = carry
-                valid = idx_blk >= 0
-                idx = jnp.maximum(idx_blk, 0)
-                lengths_blk = jnp.where(valid, lengths_all[idx], 0)
-                seg_ids_blk = seg_ids_all[idx]
-                seg_durs_blk = seg_durs_all[idx]
-                bounds_blk = boundaries[idx]
+            def f(carry, idx_blk):
+                return block_step(
+                    carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                    random_means,
+                ), None
 
-                means = means_from_state(state, random_means)
-
-                # Old segments (deleted only after the DP, reference :310-320).
-                old_embeds, _ = gather_block_segments(
-                    bounds_blk, lengths_blk, seg_ids_blk
-                )
-
-                # Candidate scores: best-component distance x duration + wip
-                # (kmeans_acoustic_wordseg.py:334-351; note the reference does
-                # NOT apply time_power_term here, :349).
-                cand_ids = dp_slice(seg_ids_blk).reshape(B * N_max * W_dp)
-                Xc = X[jnp.maximum(cand_ids, 0)]
-                best = jnp.max(neg_sqrd_norms(Xc, means), axis=-1)
-                best = best.reshape(B, N_max, W_dp)
-                durs = dp_slice(seg_durs_blk).astype(best.dtype)
-                scores = best * jnp.where(jnp.isnan(durs), 0.0, durs) + wip
-                invalid = (dp_slice(seg_ids_blk) < 0) | jnp.isnan(durs)
-                scores = jnp.where(invalid, NEG_INF, scores)
-
-                # Viterbi segmentation (forward_backward_kmeans_viterbi,
-                # kmeans_acoustic_wordseg.py:449-555).
-                key, k_dp = jax.random.split(key)
-                obj, new_bounds = dp_ops.segment_dp(
-                    scores, lengths_blk, k_dp, 0.0, 1.0,
-                    n_slices_min=n_min, n_slices_max=W_dp, mode="viterbi",
-                    use_pallas=False if on_mesh else None,
-                )
-
-                # Argmax re-assignment with the frozen means (:436-442).
-                new_embeds, _ = gather_block_segments(
-                    new_bounds, lengths_blk, seg_ids_blk
-                )
-                flat_new = new_embeds.reshape(-1)
-                Xn = X[jnp.maximum(flat_new, 0)]
-                new_ks = jnp.argmax(neg_sqrd_norms(Xn, means), axis=-1)
-                new_ks = new_ks.reshape(new_embeds.shape).astype(jnp.int32)
-                new_ks = jnp.where(new_embeds >= 0, new_ks, -1)
-
-                # Apply: update the assignment vector, rebuild stats.
-                vmask = valid[:, None]
-                oob = state.assignments.shape[0]
-                old_flat = jnp.where(
-                    vmask & (old_embeds >= 0), old_embeds, oob
-                ).reshape(-1)
-                assignments = state.assignments.at[old_flat].set(-1, mode="drop")
-                new_flat = jnp.where(
-                    vmask & (new_embeds >= 0), new_embeds, oob
-                ).reshape(-1)
-                assignments = assignments.at[new_flat].set(
-                    new_ks.reshape(-1), mode="drop"
-                )
-                state = kmeans_state_from_assignments(X, assignments, K_max)
-
-                idx_w = jnp.where(valid, idx, boundaries.shape[0])
-                boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
-                obj_total = obj_total + jnp.sum(jnp.where(valid, obj, 0.0))
-                return (state, boundaries, key, obj_total), None
-
-            init = (state, boundaries, key, jnp.zeros((), X.dtype))
+            init = (state, boundaries, key, jnp.zeros((), dtype))
             (state, boundaries, key, obj_total), _ = jax.lax.scan(
-                block_step, init, blocks
+                f, init, blocks
             )
             return state, boundaries, obj_total
 

@@ -21,7 +21,6 @@ blocked-Gibbs approximation, SURVEY.md section 7).
 from __future__ import annotations
 
 import logging
-import math
 import time
 from typing import Optional
 
@@ -39,7 +38,6 @@ from .common import (
     gather_block_segments,
     leave_out_stats,
     masked_candidate_scores,
-    merge_flat,
     pad_utterance_order,
     utterance_contrib,
 )
@@ -334,7 +332,6 @@ class UnigramAcousticWordseg:
                           anneal_gibbs_am: bool):
         am = self.acoustic_model
         sweep = self._get_sweep_fn()
-        log_p_continue = math.log(self.calc_p_continue())
         assign_temp = anneal_temp if anneal_gibbs_am else 1.0
         from .common import place_blocks
 
@@ -343,7 +340,6 @@ class UnigramAcousticWordseg:
             am.stats, am.assignments, self._boundaries_dev, am.key,
             blocks_dev, np.asarray(anneal_temp, dtype=am.X.dtype),
             np.asarray(assign_temp, dtype=am.X.dtype),
-            np.asarray(log_p_continue, dtype=am.X.dtype),
         )
         return log_prob
 
@@ -355,7 +351,18 @@ class UnigramAcousticWordseg:
             self._sweep_fn = self._build_sweep_fn()
         return self._sweep_fn
 
-    def _build_sweep_fn(self):
+    def _make_block_step(self, B: int, pallas: bool, reduce_fn):
+        """Build the per-block Gibbs update, shared by the single-device sweep
+        (``reduce_fn`` = identity) and the explicit-collective shard_map sweep
+        (``reduce_fn`` = ``psum`` over the mesh axis; ``B`` is then the
+        per-shard block size, see ``parallel/shard_sweep.py``).
+
+        ``pallas=False`` selects the pure-XLA kernels (required under a GSPMD
+        mesh: GSPMD cannot partition ``pallas_call`` inside plain ``jit``).
+        With ``pallas=True`` the Pallas kernels run (interpret mode off-TPU);
+        both consume the same pre-drawn Gumbel noise and sample identical
+        chains.
+        """
         am = self.acoustic_model
         cov, prior = am.cov, am.prior
         X = am.X
@@ -363,9 +370,6 @@ class UnigramAcousticWordseg:
         log_prior_vec = am.log_prior_vec
         full_cov = cov.FULL_COV
         utt = self.utterances
-        seg_ids_all = utt.seg_ids  # [U, N_max, W_store]
-        seg_durs_all = utt.seg_durations
-        lengths_all = utt.lengths_dev
         N_max = utt.N_max
         W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 else N_max
         W_store = utt.W
@@ -374,7 +378,8 @@ class UnigramAcousticWordseg:
         wip = self.wip
         dp_mode = self._dp_mode
         viterbi_assign = self.fb_type == "viterbi"
-        B = self.batch_size
+        beta_sb = float(self.beta_sent_boundary)
+        n_sentences = self.utterances.D - 1
 
         def dp_slice(a):
             if W_store >= W_dp:
@@ -383,13 +388,23 @@ class UnigramAcousticWordseg:
             fill = -1 if a.dtype in (jnp.int32, jnp.int64) else jnp.nan
             return jnp.pad(a, pad, constant_values=fill)
 
-        # The chain consumes pre-drawn Gumbel noise so the XLA scan and the
-        # Pallas kernel sample bit-identical chains.  Under a multi-chip mesh
-        # the XLA paths are used: GSPMD cannot partition pallas_call inside
-        # plain jit (use shard_map for per-chip kernels; see parallel/).
-        on_mesh = getattr(self, "_mesh", None) is not None
+        def log_p_continue_dev(counts):
+            """Beta sentence-boundary continue probability from the carried
+            counts (reference ``calc_p_continue``,
+            unigram_acoustic_wordseg.py:513-531).  Computed *inside* the
+            jitted sweep: a host-side evaluation would cost one synchronous
+            device fetch per sweep (~30 ms on a remote-attached TPU)."""
+            if beta_sb == -1:
+                return jnp.zeros((), X.dtype)
+            n_tokens = jnp.sum(counts).astype(X.dtype)
+            n_continue = n_tokens - n_sentences
+            return jnp.log(
+                (n_continue + beta_sb / 2.0) / (n_tokens + beta_sb)
+            )
+
         cov_type = self.acoustic_model.covariance_type
-        pallas_chain_ok = cov_type in ("fixed", "diag") and not on_mesh
+        pallas_chain_ok = pallas and cov_type in ("fixed", "diag")
+        lms_eff = 1.0 if viterbi_assign else lms
 
         def assignment_chain(lo_b, params_b, embeds_b, gumb_b, temp):
             """Sequential within-utterance assignment resampling (reference
@@ -426,10 +441,7 @@ class UnigramAcousticWordseg:
             (_, _), ks = jax.lax.scan(step, (lo_b, params_b), (embeds_b, gumb_b))
             return ks
 
-        def run_chains(lo, params_b, new_embeds, k_assign, temp):
-            gumbel = jax.random.gumbel(
-                k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
-            )
+        def run_chains(lo, params_b, new_embeds, gumbel, temp):
             if pallas_chain_ok and cov_type == "fixed":
                 from ..ops.pallas_chain import fixedvar_chain
 
@@ -438,8 +450,7 @@ class UnigramAcousticWordseg:
                     log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
                     lo.counts, lo.sum_x,
                     prior.var, prior.var_0, prior.mu_0, temp,
-                    alpha=alpha, K=K_max,
-                    lms=1.0 if viterbi_assign else lms,
+                    alpha=alpha, K=K_max, lms=lms_eff,
                     use_argmax=viterbi_assign,
                     interpret=jax.default_backend() != "tpu",
                 )
@@ -451,8 +462,7 @@ class UnigramAcousticWordseg:
                     log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
                     lo.counts, lo.sum_x, lo.sum_sq,
                     prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
-                    temp, alpha=alpha, K=K_max,
-                    lms=1.0 if viterbi_assign else lms,
+                    temp, alpha=alpha, K=K_max, lms=lms_eff,
                     use_argmax=viterbi_assign,
                     interpret=jax.default_backend() != "tpu",
                 )
@@ -462,105 +472,192 @@ class UnigramAcousticWordseg:
                 )
             )(lo, params_b, new_embeds, gumbel)
 
-        @jax.jit
-        def sweep(stats, assignments, boundaries, key, blocks, anneal_temp,
-                  assign_temp, log_p_continue):
-            def block_step(carry, idx_blk):
-                stats, assignments, boundaries, key, lp_total = carry
-                valid = idx_blk >= 0
-                idx = jnp.maximum(idx_blk, 0)
-                lengths_blk = jnp.where(valid, lengths_all[idx], 0)
-                seg_ids_blk = seg_ids_all[idx]      # [B, N_max, W_store]
-                seg_durs_blk = seg_durs_all[idx]
-                bounds_blk = boundaries[idx]
+        from .fullcov import (
+            corrected_candidate_post,
+            counts_contrib,
+            fullcov_chain,
+            touched_leave_out,
+        )
 
-                # 1. Current segments and leave-one-utterance-out stats
-                #    (reference removes the utterance's embeddings before
-                #    scoring, unigram_acoustic_wordseg.py:270-273).
-                old_embeds, _ = gather_block_segments(
-                    bounds_blk, lengths_blk, seg_ids_blk
-                )
-                old_ks = jnp.where(
-                    old_embeds >= 0,
-                    assignments[jnp.maximum(old_embeds, 0)],
-                    -1,
-                )
-                old_contrib = utterance_contrib(X, old_embeds, old_ks, K_max, full_cov)
-                lo = leave_out_stats(stats, old_contrib)
+        def block_step(carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                       anneal_temp, assign_temp):
+            stats, assignments, boundaries, key, lp_total = carry
+            valid = idx_blk >= 0
+            idx = jnp.maximum(idx_blk, 0)
+            lengths_blk = jnp.where(valid, lengths_all[idx], 0)
+            seg_ids_blk = seg_ids_all[idx]      # [B, N_max, W_store]
+            seg_durs_blk = seg_durs_all[idx]
+            bounds_blk = boundaries[idx]
 
-                # 2. Candidate scoring: one batched embeddings x components
-                #    kernel for the whole block (HOT LOOP #1 of the reference,
-                #    unigram_acoustic_wordseg.py:474-511, fbgmm.py:256-286).
-                params_b = jax.vmap(lambda s: cov.predictive_params(prior, s))(lo)
-                cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
-                cand_durs = dp_slice(seg_durs_blk)
-                Xc = X[jnp.maximum(cand_ids, 0)]
+            # 1. Current segments and leave-one-utterance-out stats
+            #    (reference removes the utterance's embeddings before
+            #    scoring, unigram_acoustic_wordseg.py:270-273).
+            old_embeds, _ = gather_block_segments(
+                bounds_blk, lengths_blk, seg_ids_blk
+            )
+            old_ks = jnp.where(
+                old_embeds >= 0,
+                assignments[jnp.maximum(old_embeds, 0)],
+                -1,
+            )
+
+            # 2. Candidate scoring: one batched embeddings x components
+            #    kernel for the whole block (HOT LOOP #1 of the reference,
+            #    unigram_acoustic_wordseg.py:474-511, fbgmm.py:256-286).
+            cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
+            cand_durs = dp_slice(seg_durs_blk)
+            Xc = X[jnp.maximum(cand_ids, 0)]
+            prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+            if cov_type == "full":
+                # Full covariance scores against the block-GLOBAL predictive
+                # parameters (one [K] Cholesky batch + one MXU matmul), then
+                # overwrites only each utterance's own <= S touched columns
+                # with exact leave-out scores -- no [B, K, D, D] tensors
+                # anywhere (see segmenters/fullcov.py).
+                M = N_max * W_dp
+                lo_counts = stats.counts[None] - counts_contrib(
+                    old_ks, old_embeds >= 0, K_max
+                )
+                params_g = cov.predictive_params(prior, stats)
+                touched = touched_leave_out(prior, stats, X, old_embeds,
+                                            old_ks)
+                post = cov.log_post_pred_batch(
+                    params_g, Xc.reshape(B * M, -1)
+                ).reshape(B, M, K_max)
+                post = corrected_candidate_post(post, Xc, touched, K_max)
+            else:
+                lo = leave_out_stats(
+                    stats, utterance_contrib(X, old_embeds, old_ks, K_max,
+                                             full_cov)
+                )
+                lo_counts = lo.counts
+                params_b = jax.vmap(
+                    lambda s: cov.predictive_params(prior, s)
+                )(lo)
                 post = jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
-                w_b = jax.vmap(
-                    lambda c: log_weights(c, alpha, K_max, lms,
-                                          include_denominator=True, dtype=X.dtype)
-                )(lo.counts)
-                prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
-                logits = w_b[:, None, :] + jnp.where(
-                    (lo.counts > 0)[:, None, :], post, prior_c[..., None]
-                )
-                log_margs = logsumexp(logits, axis=-1).reshape(B, N_max, W_dp)
-                scores = masked_candidate_scores(
-                    log_margs, dp_slice(seg_ids_blk), cand_durs, tpt, wip
-                )
+            w_b = jax.vmap(
+                lambda c: log_weights(c, alpha, K_max, lms,
+                                      include_denominator=True, dtype=X.dtype)
+            )(lo_counts)
+            logits = w_b[:, None, :] + jnp.where(
+                (lo_counts > 0)[:, None, :], post, prior_c[..., None]
+            )
+            log_margs = logsumexp(logits, axis=-1).reshape(B, N_max, W_dp)
+            scores = masked_candidate_scores(
+                log_margs, dp_slice(seg_ids_blk), cand_durs, tpt, wip
+            )
 
-                # 3. Boundary resampling DP (reference fb_func,
-                #    unigram_acoustic_wordseg.py:309-313).
-                key, k_dp, k_assign = jax.random.split(key, 3)
-                log_prob, new_bounds = dp_ops.segment_dp(
-                    scores, lengths_blk, k_dp, log_p_continue, anneal_temp,
-                    n_slices_min=n_min, n_slices_max=W_dp, mode=dp_mode,
-                    use_pallas=False if on_mesh else None,
-                )
+            # 3. Boundary resampling DP (reference fb_func,
+            #    unigram_acoustic_wordseg.py:309-313).
+            key, k_dp, k_assign = jax.random.split(key, 3)
+            log_prob, new_bounds = dp_ops.segment_dp(
+                scores, lengths_blk, k_dp, log_p_continue_dev(stats.counts),
+                anneal_temp, n_slices_min=n_min, n_slices_max=W_dp,
+                mode=dp_mode, use_pallas=None if pallas else False,
+            )
 
-                # 4. Sequential assignment of the new segments
-                #    (unigram_acoustic_wordseg.py:339-349).
-                new_embeds, _ = gather_block_segments(
-                    new_bounds, lengths_blk, seg_ids_blk
+            # 4. Sequential assignment of the new segments
+            #    (unigram_acoustic_wordseg.py:339-349).
+            new_embeds, _ = gather_block_segments(
+                new_bounds, lengths_blk, seg_ids_blk
+            )
+            gumbel = jax.random.gumbel(
+                k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
+            )
+            if cov_type == "full":
+                S = new_embeds.shape[1]
+                # HIGHEST: these scores feed an argmax over K (see
+                # components_full.log_post_pred_batch docstring).
+                G_new = cov.log_post_pred_batch(
+                    params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, -1),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(B, S, K_max)
+                new_ks = fullcov_chain(
+                    prior, X, stats, lo_counts, touched, new_embeds, G_new,
+                    gumbel, log_prior_vec, alpha, K_max, lms_eff,
+                    assign_temp, use_argmax=viterbi_assign,
                 )
-                new_ks = run_chains(lo, params_b, new_embeds, k_assign,
+            else:
+                new_ks = run_chains(lo, params_b, new_embeds, gumbel,
                                     assign_temp)
 
-                # 5. Merge block updates into the global state (flat
-                # scatters on both sides; the per-utterance old contribution
-                # then only feeds the leave-out statistics).
-                old_ks_masked = jnp.where(valid[:, None], old_ks, -1)
-                old_flat_contrib = flat_contrib(
-                    X, old_embeds, old_ks_masked, K_max, full_cov, valid
-                )
-                new_flat_contrib = flat_contrib(
-                    X, new_embeds, new_ks, K_max, full_cov, valid
-                )
-                stats = merge_flat(stats, old_flat_contrib, new_flat_contrib)
+            # 5. Merge block updates into the global state (flat scatters on
+            # both sides).  Under shard_map the deltas / assignment updates
+            # are psum'ed over ICI by ``reduce_fn`` before being applied, so
+            # every shard ends the block with identical replicated state.
+            old_ks_masked = jnp.where(valid[:, None], old_ks, -1)
+            old_flat_contrib = flat_contrib(
+                X, old_embeds, old_ks_masked, K_max, full_cov, valid
+            )
+            new_flat_contrib = flat_contrib(
+                X, new_embeds, new_ks, K_max, full_cov, valid
+            )
+            delta = reduce_fn(jax.tree.map(
+                lambda n, o: n - o, new_flat_contrib, old_flat_contrib
+            ))
+            stats = jax.tree.map(
+                lambda g, d: (g + d).astype(g.dtype), stats, delta
+            )
 
-                # Scatter with an out-of-bounds sentinel + mode="drop" so
-                # masked entries never write (negative indices would wrap).
-                vmask = valid[:, None]
-                oob = assignments.shape[0]
-                old_flat = jnp.where(
-                    vmask & (old_embeds >= 0), old_embeds, oob
-                ).reshape(-1)
-                assignments = assignments.at[old_flat].set(-1, mode="drop")
-                new_flat = jnp.where(
-                    vmask & (new_embeds >= 0), new_embeds, oob
-                ).reshape(-1)
-                assignments = assignments.at[new_flat].set(
-                    new_ks.reshape(-1), mode="drop"
-                )
-                idx_w = jnp.where(valid, idx, boundaries.shape[0])
-                boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
-                lp_total = lp_total + jnp.sum(jnp.where(valid, log_prob, 0.0))
-                return (stats, assignments, boundaries, key, lp_total), None
+            # Assignment updates are disjoint across utterances (each
+            # embedding row belongs to exactly one), so a mask/value pair
+            # scattered with an out-of-bounds sentinel + mode="drop" merges
+            # exactly -- locally and across shards.
+            vmask = valid[:, None]
+            oob = assignments.shape[0]
+            mask = jnp.zeros((oob,), jnp.int32)
+            val = jnp.zeros((oob,), jnp.int32)
+            old_flat = jnp.where(
+                vmask & (old_embeds >= 0), old_embeds, oob
+            ).reshape(-1)
+            mask = mask.at[old_flat].set(1, mode="drop")
+            val = val.at[old_flat].set(-1, mode="drop")
+            new_flat = jnp.where(
+                vmask & (new_embeds >= 0), new_embeds, oob
+            ).reshape(-1)
+            mask = mask.at[new_flat].set(1, mode="drop")
+            val = val.at[new_flat].set(
+                new_ks.reshape(-1).astype(jnp.int32), mode="drop"
+            )
+            mask, val = reduce_fn((mask, val))
+            assignments = jnp.where(mask > 0, val, assignments)
+
+            idx_w = jnp.where(valid, idx, boundaries.shape[0])
+            boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
+            lp_total = lp_total + reduce_fn(
+                jnp.sum(jnp.where(valid, log_prob, 0.0))
+            )
+            return (stats, assignments, boundaries, key, lp_total)
+
+        return block_step
+
+    def _build_sweep_fn(self):
+        # Under a GSPMD mesh the XLA paths are used: GSPMD cannot partition
+        # pallas_call inside plain jit (use parallel/shard_sweep.py for
+        # per-chip Pallas kernels with explicit collectives).
+        on_mesh = getattr(self, "_mesh", None) is not None
+        block_step = self._make_block_step(
+            self.batch_size, pallas=not on_mesh, reduce_fn=lambda t: t
+        )
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        dtype = self.acoustic_model.X.dtype
+
+        @jax.jit
+        def sweep(stats, assignments, boundaries, key, blocks, anneal_temp,
+                  assign_temp):
+            def f(carry, idx_blk):
+                return block_step(
+                    carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                    anneal_temp, assign_temp,
+                ), None
 
             init = (stats, assignments, boundaries, key,
-                    jnp.zeros((), dtype=X.dtype))
+                    jnp.zeros((), dtype=dtype))
             (stats, assignments, boundaries, key, lp_total), _ = jax.lax.scan(
-                block_step, init, blocks
+                f, init, blocks
             )
             return stats, assignments, boundaries, key, lp_total
 
