@@ -1,19 +1,48 @@
-"""Benchmark: unigram FBGMM acoustic word segmentation at Buckeye scale.
+"""Benchmark: every BASELINE.json config, with per-config reference baselines.
 
-Measures full blocked-Gibbs sweeps/sec of the flagship configuration
-(BASELINE.json config #3: unigram segmenter, fixed-variance components) on a
-synthetic corpus with ~50k candidate embeddings, and compares against the
-reference implementation's per-sweep cost.
+Configs (BASELINE.json "configs"):
+  1. clustering_2d   FBGMM (fixed-var) on the 2-D toy of the reference
+                     notebook (examples/clustering_examples.ipynb: N=100,
+                     D=2, K=4), sequential collapsed-Gibbs (exact chain).
+  2. kmeans_wordseg  Segmental k-means word segmentation at Buckeye scale.
+  3. unigram_fixed   Unigram FBGMM segmentation, fixed-variance components
+                     (the flagship / headline config).
+  4. unigram_full    Unigram FBGMM with full NIW covariance.
+  5. bigram          Bigram FBGMM + smooth interpolated bigram LM.
 
-Baseline estimation: the reference scores each candidate with a vectorised
-numpy ``log_marg_i`` (K-vector ops + logsumexp) in a Python loop per utterance
-(``unigram_acoustic_wordseg.py:474-511``, ``fbgmm.py:256-286``).  We time a
-faithful numpy re-creation of that per-candidate computation on a subsample
-and extrapolate to the full corpus; the DP (Cython logsumexp per landmark) is
-charged at the same measured per-op cost.  This is conservative -- the real
-Python-2 reference adds interpreter overhead we do not charge.
+Configs 2-5 run on a synthetic corpus with ~52k candidate embeddings /
+1000 utterances / K=1000 / D=13 (Buckeye scale per BASELINE.json) on one
+TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline estimation (per config; Python 2 is unavailable in this image, so
+the reference cannot be executed directly): each config times a faithful
+numpy re-creation of the reference's own per-item computation on a
+subsample and extrapolates to its per-sweep operation counts:
+
+  * fixed-var / bigram scoring: vectorised K-component Gaussian predictive +
+    logsumexp per candidate (fbgmm.py:256-286,
+    gaussian_components_fixedvar.py:242-253) -- a Python-loop per candidate.
+  * full NIW: per-candidate K-component multivariate Student-t einsum
+    (gaussian_components.py:228-251) PLUS the O(D^3) `inv`+`slogdet` the
+    reference pays per item add/delete (:319-331), charged twice per token
+    per sweep (delete + re-add).
+  * k-means: per-candidate K-component squared-distance max
+    (kmeans_components.py:169-226).
+  * bigram extra: per-token K-vector smoothed conditional
+    (bigram_lms.py:56-91) for the sequential assignment chain
+    (bigram_acoustic_wordseg.py:482-494), plus the corpus-replay log_prob_z
+    (:287-305) once per sweep.
+  * DP: charged at one candidate-equivalent per landmark (conservative:
+    the reference runs 2 windowed Cython logsumexps per landmark).
+  * 2-D toy: the reference's entire per-item Gibbs body (delete, score
+    K=4, draw, add) in a Python loop, charged N=100 times per sweep.
+
+This is conservative -- the real Python-2 reference adds interpreter and
+bookkeeping overhead we do not charge.
+
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "configs": {name:
+   {"sweeps_per_sec", "ref_sweeps_per_sec", "vs_baseline", "f1"}}}
 """
 
 import json
@@ -37,7 +66,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 # --------------------------------------------------------------------------
-# Corpus configuration: ~50k candidate embeddings (Buckeye-scale per
+# Corpus configuration: ~52k candidate embeddings (Buckeye-scale per
 # BASELINE.json), D=13 downsampled AWEs, K=1000 components.
 N_UTT = 1000
 N_LANDMARKS_MAX = 20
@@ -48,61 +77,82 @@ BATCH_SIZE = 250
 N_SWEEPS = 5
 
 
-def build_segmenter():
-    from segmentalist_tpu import FBGMM, FixedVarPrior
-    from segmentalist_tpu.segmenters.unigram import UnigramAcousticWordseg
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def corpus():
     from segmentalist_tpu.utils.synth import synthetic_corpus
 
-    (embedding_mats, vec_ids_dict, durations_dict, landmarks_dict, truth) = (
-        synthetic_corpus(
-            n_utterances=N_UTT, n_landmarks_max=N_LANDMARKS_MAX, D=D_EMBED,
-            K_true=50, n_slices_max=N_SLICES_MAX, seed=0,
-        )
+    em, vi, du, lm, truth = synthetic_corpus(
+        n_utterances=N_UTT, n_landmarks_max=N_LANDMARKS_MAX, D=D_EMBED,
+        K_true=50, n_slices_max=N_SLICES_MAX, seed=0,
     )
-    n_cand = sum(m.shape[0] for m in embedding_mats.values())
-    prior = FixedVarPrior.create(
+    em = {k: v.astype(np.float32) for k, v in em.items()}
+    return em, vi, du, lm, truth
+
+
+def fixed_prior():
+    from segmentalist_tpu import FixedVarPrior
+
+    return FixedVarPrior.create(
         0.05 * np.ones(D_EMBED, np.float32),
         np.zeros(D_EMBED, np.float32),
         1.0 * np.ones(D_EMBED, np.float32),
     )
-    np.random.seed(0)
-    seg = UnigramAcousticWordseg(
-        FBGMM, am_alpha=1.0, am_K=K_COMPONENTS, am_param_prior=prior,
-        embedding_mats={k: v.astype(np.float32) for k, v in embedding_mats.items()},
-        vec_ids_dict=vec_ids_dict, durations_dict=durations_dict,
-        landmarks_dict=landmarks_dict, p_boundary_init=0.5,
-        beta_sent_boundary=-1, n_slices_max=N_SLICES_MAX,
-        batch_size=BATCH_SIZE, seed=0,
-    )
-    return seg, n_cand, truth
 
 
-def time_tpu_sweeps(seg):
-    # Warmup (compile).
+def time_sweeps(sample):
     t0 = time.time()
-    seg.gibbs_sample(1)
-    warmup = time.time() - t0
-    print("warmup (incl. compile): %.1fs" % warmup, file=sys.stderr)
+    sample(1)  # warmup / compile
+    log("  warmup (incl. compile): %.1fs" % (time.time() - t0))
     t0 = time.time()
-    rec = seg.gibbs_sample(N_SWEEPS)
-    dt = (time.time() - t0) / N_SWEEPS
-    return dt, rec
+    rec = sample(N_SWEEPS)
+    return (time.time() - t0) / N_SWEEPS, rec
 
 
-def estimate_reference_sweep_seconds(n_candidates, n_landmarks_total):
-    """Time the reference's per-candidate numpy scoring on a subsample."""
+def f1_of(seg, truth):
+    from segmentalist_tpu.utils.synth import boundary_f_score
+
+    seg._sync_boundaries_to_host()
+    pred = {
+        utt: seg.utterances.boundaries[i]
+        for i, utt in enumerate(seg.ids_to_utterance_labels)
+    }
+    return boundary_f_score(pred, truth)[2]
+
+
+def best_of(fn, n_items, reps=3):
+    """Best-of-N per-item wall time of a host-side emulation loop."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, (time.time() - t0) / n_items)
+    return best
+
+
+# --------------------------------------------------------------------------
+# Reference emulations (numpy re-creations of the per-item reference math).
+
+def ref_fixedvar_candidate_seconds(K=K_COMPONENTS, D=D_EMBED, lm_weights=False):
+    """fbgmm.py:256-286 + gaussian_components_fixedvar.py:242-253 (and for
+    the bigram driver the identical-shape log_marg_i_embed_unigram,
+    bigram_acoustic_wordseg.py:314-329)."""
     rng = np.random.RandomState(0)
-    K, D = K_COMPONENTS, D_EMBED
     mu_pred = rng.randn(K, D)
     prec_pred = np.abs(rng.randn(K, D)) + 0.5
     log_prod = np.sum(np.log(prec_pred), axis=1)
     counts = rng.randint(0, 50, K)
+    lmw = np.log((counts + 1.0 / K) / (counts.sum() + 1.0))  # lm weights
     n_sample = 2000
     xs = rng.randn(n_sample, D)
 
     def log_marg_i(x):
-        # fbgmm.py:256-286 + gaussian_components_fixedvar.py:242-253
-        log_prob_z = np.log(1.0 / K + counts) - np.log(counts.sum() + 1.0)
+        if lm_weights:
+            log_prob_z = lmw.copy()
+        else:
+            log_prob_z = np.log(1.0 / K + counts) - np.log(counts.sum() + 1.0)
         deltas = mu_pred - x
         log_prob_z = log_prob_z + (
             -0.5 * D * np.log(2 * np.pi)
@@ -112,64 +162,343 @@ def estimate_reference_sweep_seconds(n_candidates, n_landmarks_total):
         m = log_prob_z.max()
         return np.log(np.exp(log_prob_z - m).sum()) + m
 
-    # Best-of-3 to damp host-load noise in the baseline estimate.
-    per_candidate = float("inf")
-    for _ in range(3):
-        t0 = time.time()
+    return best_of(lambda: [log_marg_i(xs[i]) for i in range(n_sample)],
+                   n_sample)
+
+
+def ref_full_candidate_seconds(K=K_COMPONENTS, D=D_EMBED):
+    """Multivariate Student-t over K components per candidate
+    (gaussian_components.py:228-251: einsum over deltas x inv_covars)."""
+    rng = np.random.RandomState(0)
+    mu_pred = rng.randn(K, D)
+    inv_covars = np.broadcast_to(np.eye(D), (K, D, D)).copy()
+    logdets = rng.rand(K)
+    vs = rng.randint(D + 1, D + 50, K).astype(float)
+    counts = rng.randint(0, 50, K)
+    from scipy.special import gammaln
+    n_sample = 500
+    xs = rng.randn(n_sample, D)
+
+    def log_marg_i(x):
+        deltas = mu_pred - x
+        # reference: np.einsum per candidate (gaussian_components.py:351-352)
+        maha = np.einsum("kd,kde,ke->k", deltas, inv_covars, deltas)
+        v = vs
+        logp = (
+            gammaln((v + D) / 2.0) - gammaln(v / 2.0)
+            - D / 2.0 * np.log(v) - D / 2.0 * np.log(np.pi)
+            - 0.5 * logdets - (v + D) / 2.0 * np.log1p(maha / v)
+        )
+        logp = logp + np.log(1.0 / K + counts) - np.log(counts.sum() + 1.0)
+        m = logp.max()
+        return np.log(np.exp(logp - m).sum()) + m
+
+    return best_of(lambda: [log_marg_i(xs[i]) for i in range(n_sample)],
+                   n_sample)
+
+
+def ref_full_update_seconds(D=D_EMBED):
+    """Per add/del item update: O(D^3) inv + slogdet of the predictive
+    covariance (gaussian_components.py:319-331)."""
+    rng = np.random.RandomState(0)
+    n_sample = 2000
+    mats = rng.randn(n_sample, D, D)
+    mats = mats @ mats.transpose(0, 2, 1) + 5 * np.eye(D)
+
+    def one():
         for i in range(n_sample):
-            log_marg_i(xs[i])
-        per_candidate = min(per_candidate, (time.time() - t0) / n_sample)
+            np.linalg.inv(mats[i])
+            np.linalg.slogdet(mats[i])
 
-    # Forward+backward DP: ~2 windowed logsumexp per landmark, tiny next to
-    # scoring; charge one candidate-equivalent per landmark.
-    ref_sweep = per_candidate * (n_candidates + n_landmarks_total)
-    print(
-        "reference emulation: %.1f us/candidate -> %.2f s/sweep"
-        % (per_candidate * 1e6, ref_sweep),
-        file=sys.stderr,
+    return best_of(one, n_sample)
+
+
+def ref_kmeans_candidate_seconds(K=K_COMPONENTS, D=D_EMBED):
+    """Best-component negative squared distance per candidate
+    (kmeans_components.py:169-226 + max at :228-229)."""
+    rng = np.random.RandomState(0)
+    means = rng.randn(K, D)
+    n_sample = 2000
+    xs = rng.randn(n_sample, D)
+
+    def neg_sqrd_norm(x):
+        deltas = means - x
+        return (-(deltas * deltas).sum(axis=1)).max()
+
+    return best_of(lambda: [neg_sqrd_norm(xs[i]) for i in range(n_sample)],
+                   n_sample)
+
+
+def ref_bigram_token_seconds(K=K_COMPONENTS):
+    """Per-token sequential assignment extras in the bigram driver: the
+    K-vector smoothed conditional (bigram_lms.py:56-91) + inverse-CDF draw
+    (utils.py:10-21), on top of the fixed-var predictive charged per
+    candidate."""
+    rng = np.random.RandomState(0)
+    unigram = rng.randint(0, 50, K).astype(float)
+    bigram = rng.randint(0, 5, (K, K)).astype(float)
+    n_sample = 2000
+    js = rng.randint(0, K, n_sample)
+
+    def one_token(j):
+        uni = (unigram + 1.0 / K) / (unigram.sum() + 1.0)
+        big = (bigram[j] + 1.0 / K) / (unigram[j] + 1.0)
+        p = 0.1 * uni + 0.9 * big
+        c = np.cumsum(p / p.sum())
+        return np.searchsorted(c, 0.5)
+
+    return best_of(lambda: [one_token(js[i]) for i in range(n_sample)],
+                   n_sample)
+
+
+def ref_bigram_replay_seconds(n_tokens, K=K_COMPONENTS):
+    """Corpus-replay log_prob_z, once per sweep
+    (bigram_acoustic_wordseg.py:287-305): per token two count lookups, a
+    probability and a count update."""
+    rng = np.random.RandomState(0)
+    toks = rng.randint(0, 200, n_tokens)
+
+    def replay():
+        unigram = np.zeros(K)
+        bigram = {}
+        lp = 0.0
+        j = -1
+        for i in toks:
+            p_uni = (unigram[i] + 1.0 / K) / (unigram.sum() + 1.0)
+            if j >= 0:
+                p_big = (bigram.get((j, i), 0) + 1.0 / K) / (unigram[j] + 1.0)
+                lp += np.log(0.1 * p_uni + 0.9 * p_big)
+                bigram[(j, i)] = bigram.get((j, i), 0) + 1
+            else:
+                lp += np.log(p_uni)
+            unigram[i] += 1
+            j = i
+        return lp
+
+    t0 = time.time()
+    replay()
+    return time.time() - t0
+
+
+def ref_2d_fbgmm_sweep_seconds(N=100, K=4, D=2):
+    """One collapsed-Gibbs sweep of the reference FBGMM on the notebook's
+    2-D toy (fbgmm.py:351-403: per item delete, score K, draw, add)."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(N, D)
+    counts = np.full(K, N // K, dtype=float)
+    mu_N = rng.randn(K, D)
+    prec_N = np.abs(rng.randn(K, D)) + 1.0
+
+    def sweep():
+        for i in range(N):
+            x = X[i]
+            k_old = i % K
+            counts[k_old] -= 1  # del_item
+            mu_N[k_old] -= x / 10.0
+            log_prob_z = np.log(1.0 / K + counts)
+            deltas = mu_N - x
+            log_prob_z = log_prob_z + (
+                -0.5 * D * np.log(2 * np.pi)
+                + 0.5 * np.sum(np.log(prec_N), axis=1)
+                - 0.5 * ((deltas * deltas) * prec_N).sum(axis=1)
+            )
+            p = np.exp(log_prob_z - log_prob_z.max())
+            c = np.cumsum(p / p.sum())
+            k = int(np.searchsorted(c, rng.rand()))  # utils.py draw
+            counts[k] += 1  # add_item
+            mu_N[k] += x / 10.0
+
+    return best_of(sweep, 1, reps=5)
+
+
+# --------------------------------------------------------------------------
+# TPU runs.
+
+def run_unigram_fixed(em, vi, du, lm, truth):
+    from segmentalist_tpu import FBGMM
+    from segmentalist_tpu.segmenters.unigram import UnigramAcousticWordseg
+
+    np.random.seed(0)
+    seg = UnigramAcousticWordseg(
+        FBGMM, am_alpha=1.0, am_K=K_COMPONENTS, am_param_prior=fixed_prior(),
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lm, p_boundary_init=0.5, beta_sent_boundary=-1,
+        n_slices_max=N_SLICES_MAX, batch_size=BATCH_SIZE, seed=0,
     )
-    return ref_sweep
+    dt, rec = time_sweeps(lambda n: seg.gibbs_sample(n))
+    return seg, dt, rec
 
+
+def run_unigram_full(em, vi, du, lm, truth):
+    from segmentalist_tpu import FBGMM, NIW
+    from segmentalist_tpu.segmenters.unigram import UnigramAcousticWordseg
+
+    prior = NIW.create(np.zeros(D_EMBED, np.float32), 0.05,
+                       float(D_EMBED) + 3.0,
+                       0.05 * np.eye(D_EMBED, dtype=np.float32))
+    np.random.seed(0)
+    seg = UnigramAcousticWordseg(
+        FBGMM, am_alpha=1.0, am_K=K_COMPONENTS, am_param_prior=prior,
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lm, covariance_type="full", p_boundary_init=0.5,
+        beta_sent_boundary=-1, n_slices_max=N_SLICES_MAX,
+        batch_size=BATCH_SIZE, seed=0,
+    )
+    dt, rec = time_sweeps(lambda n: seg.gibbs_sample(n))
+    return seg, dt, rec
+
+
+def run_bigram(em, vi, du, lm, truth):
+    from segmentalist_tpu.segmenters.bigram import BigramAcousticWordseg
+
+    np.random.seed(0)
+    seg = BigramAcousticWordseg(
+        am_K=K_COMPONENTS, am_param_prior=fixed_prior(),
+        lm_params={"type": "smooth", "intrp_lambda": 0.1, "a": 1.0, "b": 1.0},
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lm, p_boundary_init=0.5, beta_sent_boundary=-1,
+        n_slices_max=N_SLICES_MAX, fb_type="unigram", batch_size=BATCH_SIZE,
+        seed=0,
+    )
+    dt, rec = time_sweeps(lambda n: seg.gibbs_sample(n))
+    return seg, dt, rec
+
+
+def run_kmeans(em, vi, du, lm, truth):
+    from segmentalist_tpu.segmenters.kmeans_seg import SegmentalKMeansWordseg
+
+    np.random.seed(0)
+    seg = SegmentalKMeansWordseg(
+        am_K=K_COMPONENTS, embedding_mats=em, vec_ids_dict=vi,
+        durations_dict=du, landmarks_dict=lm, p_boundary_init=0.5,
+        n_slices_max=N_SLICES_MAX, batch_size=BATCH_SIZE, seed=0,
+    )
+    dt, rec = time_sweeps(lambda n: seg.segment(n))
+    return seg, dt, rec
+
+
+def run_2d_fbgmm():
+    from segmentalist_tpu import FBGMM
+
+    rng = np.random.RandomState(1)
+    X = np.vstack([rng.randn(25, 2) + c for c in
+                   ([0, 0], [4, 4], [-4, 4], [4, -4])]).astype(np.float32)
+    np.random.seed(1)
+    model = FBGMM(X, fixed_prior_2d(), alpha=1.0, K=4, assignments="rand",
+                  covariance_type="fixed")
+    t0 = time.time()
+    model.gibbs_sample(1, mode="blocked")
+    log("  warmup (incl. compile): %.1fs" % (time.time() - t0))
+    t0 = time.time()
+    model.gibbs_sample(100, mode="blocked")
+    return (time.time() - t0) / 100.0
+
+
+def fixed_prior_2d():
+    from segmentalist_tpu import FixedVarPrior
+
+    return FixedVarPrior.create(
+        0.5 * np.ones(2, np.float32), np.zeros(2, np.float32),
+        np.ones(2, np.float32),
+    )
+
+
+# --------------------------------------------------------------------------
 
 def main():
-    seg, n_cand, truth = build_segmenter()
-    n_landmarks_total = sum(seg.utterances.lengths)
-    print(
-        "corpus: %d utterances, %d candidate embeddings, %d landmarks, "
-        "K=%d, D=%d" % (seg.utterances.D, n_cand, n_landmarks_total,
-                        K_COMPONENTS, D_EMBED),
-        file=sys.stderr,
+    em, vi, du, lm, truth = corpus()
+    n_cand = sum(m.shape[0] for m in em.values())
+    n_landmarks = sum(len(v) for v in lm.values())
+    log("corpus: %d utterances, %d candidates, %d landmarks, K=%d, D=%d"
+        % (N_UTT, n_cand, n_landmarks, K_COMPONENTS, D_EMBED))
+
+    configs = {}
+
+    def add(name, sweep_s, ref_sweep_s, f1=None):
+        configs[name] = {
+            "sweeps_per_sec": round(1.0 / sweep_s, 4),
+            "ref_sweeps_per_sec": round(1.0 / ref_sweep_s, 6),
+            "vs_baseline": round(ref_sweep_s / sweep_s, 2),
+        }
+        if f1 is not None:
+            configs[name]["f1"] = round(f1, 3)
+        log("%-16s %8.4f s/sweep  ref %8.3f s/sweep  -> %7.1fx%s"
+            % (name, sweep_s, ref_sweep_s, ref_sweep_s / sweep_s,
+               ("  F1=%.3f" % f1) if f1 is not None else ""))
+
+    # ---- 3. unigram fixed-var (flagship) ------------------------------- #
+    log("[unigram_fixed]")
+    seg, dt_fixed, rec = run_unigram_fixed(em, vi, du, lm, truth)
+    per_cand_fixed = ref_fixedvar_candidate_seconds()
+    ref_fixed = per_cand_fixed * (n_cand + n_landmarks)
+    f1_fixed = f1_of(seg, truth)
+    add("unigram_fixed", dt_fixed, ref_fixed, f1_fixed)
+    n_tokens = int(rec["n_tokens"][-1])
+
+    # ---- 4. unigram full NIW ------------------------------------------- #
+    log("[unigram_full]")
+    seg_f, dt_full, rec_f = run_unigram_full(em, vi, du, lm, truth)
+    per_cand_full = ref_full_candidate_seconds()
+    per_update_full = ref_full_update_seconds()
+    n_tokens_full = int(rec_f["n_tokens"][-1])
+    # Per sweep the reference deletes and re-adds every token's embedding,
+    # each triggering the O(D^3) cache update (gaussian_components:319-331).
+    ref_full = (per_cand_full * (n_cand + n_landmarks)
+                + per_update_full * 2 * n_tokens_full)
+    add("unigram_full", dt_full, ref_full, f1_of(seg_f, truth))
+
+    # ---- 5. bigram ------------------------------------------------------ #
+    log("[bigram]")
+    seg_b, dt_big, rec_b = run_bigram(em, vi, du, lm, truth)
+    per_cand_big = ref_fixedvar_candidate_seconds(lm_weights=True)
+    per_tok_big = ref_bigram_token_seconds()
+    n_tokens_big = int(rec_b["n_tokens"][-1])
+    replay = ref_bigram_replay_seconds(n_tokens_big)
+    ref_big = (per_cand_big * (n_cand + n_landmarks)
+               + per_tok_big * n_tokens_big + replay)
+    add("bigram", dt_big, ref_big, f1_of(seg_b, truth))
+
+    # ---- 2. segmental k-means ------------------------------------------ #
+    log("[kmeans_wordseg]")
+    seg_k, dt_km, _ = run_kmeans(em, vi, du, lm, truth)
+    per_cand_km = ref_kmeans_candidate_seconds()
+    ref_km = per_cand_km * (n_cand + n_landmarks)
+    add("kmeans_wordseg", dt_km, ref_km, f1_of(seg_k, truth))
+
+    # ---- 1. 2-D toy clustering ----------------------------------------- #
+    # The ONLY config with an in-repo measured reference number: the
+    # notebook's logged sample_time, 13 ms/sweep for this exact config
+    # (examples/clustering_examples.ipynb; SURVEY.md section 6).  We report
+    # against that measurement and print this host's emulation alongside.
+    # N=100 / K=4 has no parallelism for a TPU to exploit -- the per-sweep
+    # cost is the dispatch/latency floor -- so unlike the Buckeye-scale
+    # configs this one is reported for completeness, not speedup.
+    log("[clustering_2d]")
+    dt_2d = run_2d_fbgmm()
+    ref_2d_notebook = 0.013
+    ref_2d_emul = ref_2d_fbgmm_sweep_seconds()
+    log("  host emulation of the reference toy sweep: %.4f s/sweep "
+        "(notebook measurement: %.3f)" % (ref_2d_emul, ref_2d_notebook))
+    add("clustering_2d", dt_2d, ref_2d_notebook)
+    configs["clustering_2d"]["ref_emulation_this_host_sweeps_per_sec"] = (
+        round(1.0 / ref_2d_emul, 2))
+    configs["clustering_2d"]["note"] = (
+        "vs the reference's own in-repo measured 13 ms/sweep "
+        "(clustering_examples.ipynb); at N=100, K=4 the TPU per-sweep cost "
+        "is the dispatch latency floor, so no large speedup exists for "
+        "this toy config"
     )
 
-    sweep_seconds, rec = time_tpu_sweeps(seg)
-    sweeps_per_sec = 1.0 / sweep_seconds
-
-    # Segmentation quality on the synthetic ground truth.
-    from segmentalist_tpu.utils.synth import boundary_f_score
-
-    seg._sync_boundaries_to_host()
-    pred = {
-        utt: seg.utterances.boundaries[i]
-        for i, utt in enumerate(seg.ids_to_utterance_labels)
-    }
-    p, r, f1 = boundary_f_score(pred, truth)
-    evals_per_sec = n_cand * K_COMPONENTS / sweep_seconds
-    print(
-        "sweep: %.4fs (%.2f sweeps/s), %.3g logprob evals/s, "
-        "boundary F1=%.3f (P=%.3f R=%.3f), log_marg=%.1f"
-        % (sweep_seconds, sweeps_per_sec, evals_per_sec, f1, p, r,
-           rec["log_marg"][-1]),
-        file=sys.stderr,
-    )
-
-    ref_sweep = estimate_reference_sweep_seconds(n_cand, n_landmarks_total)
-    vs_baseline = ref_sweep / sweep_seconds
+    evals_per_sec = n_cand * K_COMPONENTS / dt_fixed
+    log("flagship: %.2f sweeps/s, %.3g logprob evals/s, F1=%.3f, "
+        "n_tokens=%d" % (1.0 / dt_fixed, evals_per_sec, f1_fixed, n_tokens))
 
     print(json.dumps({
         "metric": "unigram_fbgmm_gibbs_sweeps_per_sec_buckeye_scale",
-        "value": round(sweeps_per_sec, 4),
-        "unit": "sweeps/sec (50k candidates, K=1000, 1 chip)",
-        "vs_baseline": round(vs_baseline, 2),
+        "value": round(1.0 / dt_fixed, 4),
+        "unit": "sweeps/sec (52k candidates, K=1000, 1 chip)",
+        "vs_baseline": round(ref_fixed / dt_fixed, 2),
+        "configs": configs,
     }))
 
 

@@ -105,18 +105,33 @@ class Utterances:
                 "Initializing boundaries randomly with boundary probability "
                 + str(p_boundary_init)
             )
-            for i in range(self.D):
-                N = self.lengths[i]
-                while True:
-                    self._boundaries[i, 0:N] = rand.rand(N) < p_boundary_init
-                    self._boundaries[i, N - 1] = True
-                    if np.all(np.asarray(self.get_segmented_embeds_i(i)) == -1):
-                        continue
-                    indices = self.get_segmented_landmark_indices(i)
-                    spans = [j[1] - j[0] for j in indices]
-                    if (max(spans) <= n_slices_max and min(spans) >= n_slices_min) \
-                            or (N <= n_slices_min):
-                        break
+            # Native rejection-resampled init (O(U * N^2) host work that
+            # dominates startup at 10x corpus scale when done in Python).
+            # The seed is drawn from the caller's RNG so runs stay
+            # reproducible under np.random.seed / an explicit rng.
+            from . import native
+
+            seed = int(rand.randint(1, 2 ** 31 - 1))
+            nat = native.init_boundaries_random(
+                np.asarray(self.lengths, np.int64), self.vec_ids,
+                self.N_max, float(p_boundary_init), self.n_slices_min,
+                self.n_slices_max, seed,
+            )
+            if nat is not None:
+                self._boundaries = nat
+            else:  # documented numpy fallback (reference utterances.py:136-157)
+                for i in range(self.D):
+                    N = self.lengths[i]
+                    while True:
+                        self._boundaries[i, 0:N] = rand.rand(N) < p_boundary_init
+                        self._boundaries[i, N - 1] = True
+                        if np.all(np.asarray(self.get_segmented_embeds_i(i)) == -1):
+                            continue
+                        indices = self.get_segmented_landmark_indices(i)
+                        spans = [j[1] - j[0] for j in indices]
+                        if (max(spans) <= n_slices_max and min(spans) >= n_slices_min) \
+                                or (N <= n_slices_min):
+                            break
 
         # Dense windowed device tensors.  W covers every span that actually has
         # an embedding (data may provide spans longer than n_slices_max, e.g.
@@ -194,6 +209,25 @@ class Utterances:
         self._boundaries = np.asarray(boundaries).astype(bool)
 
     # -- segmentation queries (reference utterances.py:159-229) ---------------
+
+    def all_segmented_embeds(self) -> np.ndarray:
+        """[D, N_max] embedding ids of every utterance's current segments,
+        padded with -2 (-1 is a legitimate 'missing embedding').  Batched
+        native query (``native/corpus_ops.cpp::segmented_embeds``); numpy
+        per-utterance fallback."""
+        from . import native
+
+        out = native.segmented_embeds(
+            self._boundaries, self.vec_ids,
+            np.asarray(self.lengths, np.int64),
+        )
+        if out is not None:
+            return out
+        out = np.full((self.D, self.N_max), -2, dtype=np.int64)
+        for i in range(self.D):
+            embeds = self.get_segmented_embeds_i(i)
+            out[i, : len(embeds)] = embeds
+        return out
 
     def get_segmented_embeds_i(self, i: int) -> List[int]:
         """Embedding IDs of the current segmentation of utterance ``i``

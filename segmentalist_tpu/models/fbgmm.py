@@ -302,8 +302,62 @@ class FBGMM:
         )
         self.setup_components(K, new_assignments)
         if reassign:
-            for i in np.where((old_assignments != -1) & (new_assignments == -1))[0]:
-                self.gibbs_sample_inside_loop_i(int(i))
+            orphans = np.where(
+                (old_assignments != -1) & (new_assignments == -1)
+            )[0]
+            if len(orphans):
+                self.reassign_items(orphans)
+
+    def reassign_items(self, ids, anneal_temp: float = 1.0):
+        """Gibbs-assign the listed (unassigned) items sequentially in ONE
+        device call -- a masked scan that scores each item against the
+        running statistics, exactly ``gibbs_sample_inside_loop_i`` chained
+        (reference fbgmm.py:422-463) without O(len(ids)) host round-trips."""
+        ids = np.asarray(ids, dtype=np.int64)
+        cache_key = ("reassign", self.K_max, len(ids))
+        if cache_key not in self._jit_cache:
+            cov, prior, X = self.cov, self.prior, self.X
+            alpha, K_max, lms = self.alpha, self.K_max, self.lms
+            log_prior_vec = self.log_prior_vec
+            full_cov = cov.FULL_COV
+
+            @jax.jit
+            def run(stats, assignments, key, item_ids, temp):
+                key, sub = jax.random.split(key)
+                item_keys = jax.random.split(sub, item_ids.shape[0])
+                params0 = cov.predictive_params(prior, stats)
+
+                def step(carry, inp):
+                    stats, params, assignments = carry
+                    i, k_i = inp
+                    ok = i >= 0
+                    i_s = jnp.maximum(i, 0)
+                    x = X[i_s]
+                    w = log_weights(stats.counts, alpha, K_max, lms,
+                                    include_denominator=False, dtype=x.dtype)
+                    post = cov.log_post_pred(params, x)
+                    logits = w + jnp.where(stats.counts > 0, post,
+                                           log_prior_vec[i_s])
+                    k = rnd.annealed_gumbel_max(k_i, logits, temp)
+                    k = canonicalize_new_component(stats.counts, k)
+                    stats = add_item(stats, x, k, full_cov=full_cov,
+                                     weight=ok.astype(jnp.int32))
+                    params = cov.update_predictive_row(prior, stats, params, k)
+                    assignments = assignments.at[
+                        jnp.where(ok, i_s, assignments.shape[0])
+                    ].set(k.astype(jnp.int32), mode="drop")
+                    return (stats, params, assignments), None
+
+                (stats, _, assignments), _ = jax.lax.scan(
+                    step, (stats, params0, assignments), (item_ids, item_keys)
+                )
+                return stats, assignments, key
+
+            self._jit_cache[cache_key] = run
+        self.stats, self.assignments, self.key = self._jit_cache[cache_key](
+            self.stats, self.assignments, self.key, jnp.asarray(ids),
+            np.asarray(anneal_temp, dtype=self.X.dtype),
+        )
 
     # -- full sweeps ---------------------------------------------------------
 

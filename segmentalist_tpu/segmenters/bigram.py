@@ -99,11 +99,10 @@ class BigramAcousticWordseg:
             b=lm_params["b"], K=am_K,
         )
 
-        init_embeds = []
-        for i in range(self.utterances.D):
-            init_embeds.extend(self.utterances.get_segmented_embeds_i(i))
-        init_embeds = np.array(init_embeds, dtype=int)
-        init_embeds = init_embeds[init_embeds != -1]
+        # Batched native segmentation query (falls back to the per-
+        # utterance host loop; see Utterances.all_segmented_embeds).
+        all_embeds = self.utterances.all_segmented_embeds()
+        init_embeds = all_embeds[all_embeds >= 0]
 
         key = jax.random.PRNGKey(seed)
         assignments = -1 * np.ones(N, dtype=int)
@@ -268,6 +267,76 @@ class BigramAcousticWordseg:
                                am.log_prior_vec[i_embed])
         return float(logsumexp(logits))
 
+    def get_vec_embed_log_probs_unigram(self, vec_ids, durations) -> np.ndarray:
+        """Duration-scaled unigram-marginal candidate scores in the
+        reference's packed triangular layout (reference
+        ``get_vec_embed_log_probs_unigram``,
+        bigram_acoustic_wordseg.py:673-692).  Scores against the *current*
+        model state, vectorised over candidates."""
+        from ..models.bigram_lm import log_prob_vec_i
+
+        vec_ids = np.asarray(vec_ids)
+        durations = np.asarray(durations, dtype=float)
+        out = np.full(len(vec_ids), -np.inf)
+        valid = vec_ids != -1
+        if valid.any():
+            am = self.acoustic_model
+            cov = am.cov
+            ids = jnp.asarray(vec_ids[valid].astype(int))
+            params = cov.predictive_params(am.prior, am.stats)
+            w = self.lms * log_prob_vec_i(self.lm.state, self.lm.a,
+                                          self.lm.K, am.X.dtype)
+            post = cov.log_post_pred_batch(params, am.X[ids])
+            logits = w[None, :] + jnp.where(
+                (am.stats.counts > 0)[None, :], post,
+                am.log_prior_vec[ids][:, None],
+            )
+            out[valid] = np.asarray(logsumexp(logits, axis=-1))
+        nan_dur = np.isnan(durations)
+        out[nan_dur & valid] = -np.inf
+        ok = valid & ~nan_dur
+        out[ok] = out[ok] * durations[ok] ** self.time_power_term
+        return out + self.wip
+
+    def gibbs_sample_inside_loop_i_embed(self, i_embed: int,
+                                         j_prev_assignment: int = -1,
+                                         anneal_temp: float = 1.0) -> int:
+        """Sample a component for one (unassigned) embedding conditioned on
+        the previous segment's component through the bigram LM, and add it
+        to the acoustic model (reference
+        ``gibbs_sample_inside_loop_i_embed``,
+        bigram_acoustic_wordseg.py:332-384).  Returns the sampled component.
+
+        The LM count tables are NOT updated here -- exactly like the
+        reference, which re-adds the utterance's counts only after the whole
+        utterance (``:496``).
+        """
+        from ..models.bigram_lm import log_prob_vec_i, prob_vec_given_j
+        from ..ops.random import annealed_gumbel_max
+        from ..ops.stats import add_item, canonicalize_new_component
+
+        am = self.acoustic_model
+        cov = am.cov
+        if j_prev_assignment is not None and int(j_prev_assignment) >= 0:
+            w = self.lms * jnp.log(prob_vec_given_j(
+                self.lm.state, int(j_prev_assignment), self.lm.intrp_lambda,
+                self.lm.a, self.lm.b, self.lm.K, am.X.dtype,
+            ))
+        else:
+            w = self.lms * log_prob_vec_i(self.lm.state, self.lm.a,
+                                          self.lm.K, am.X.dtype)
+        params = cov.predictive_params(am.prior, am.stats)
+        post = cov.log_post_pred(params, am.X[i_embed])
+        logits = w + jnp.where(am.stats.counts > 0, post,
+                               am.log_prior_vec[i_embed])
+        am.key, sub = jax.random.split(am.key)
+        k = annealed_gumbel_max(sub, logits, anneal_temp)
+        k = canonicalize_new_component(am.stats.counts, k)
+        am.stats = add_item(am.stats, am.X[i_embed], k,
+                            full_cov=cov.FULL_COV)
+        am.assignments = am.assignments.at[i_embed].set(k.astype(jnp.int32))
+        return int(k)
+
     # ------------------------------------------------------------- sampling
 
     def gibbs_sample_i(self, i: int, anneal_temp: float = 1.0,
@@ -282,9 +351,16 @@ class BigramAcousticWordseg:
                      anneal_schedule=None, anneal_start_temp_inv: float = 0.1,
                      anneal_end_temp_inv: float = 1.0, n_anneal_steps: int = -1,
                      anneal_gibbs_am: bool = False,
-                     assignments_only: bool = False) -> dict:
-        """(reference ``gibbs_sample``, bigram_acoustic_wordseg.py:553-670)."""
+                     assignments_only: bool = False, monitor_i=None,
+                     validate: bool = False) -> dict:
+        """(reference ``gibbs_sample``, bigram_acoustic_wordseg.py:553-670).
+
+        ``monitor_i`` / ``validate``: per-sweep deep trace of one utterance
+        and opt-in invariant checks (the reference's ``i_debug_monitor``
+        traces, bigram_acoustic_wordseg.py:24, :400-407, and NaN asserts,
+        :368; see ``utils/debug.py``)."""
         from ..utils.annealing import anneal_temperatures
+        from ..utils import debug as dbg
 
         if am_n_iter > 0:
             raise NotImplementedError(
@@ -308,6 +384,8 @@ class BigramAcousticWordseg:
             "log_prob_X_given_z", "anneal_temp", "components", "n_tokens")}
         # Asynchronous record loop; one batched fetch at the end.
         pending = []
+        pending_monitor = []
+        pending_validate = []
         start = time.time()
         for i_iter in range(n_iter):
             temp = float(temps[i_iter])
@@ -318,6 +396,16 @@ class BigramAcousticWordseg:
                                                   assignments_only)
             pending.append((time.time(), temp, log_prob_dev,
                             self.sweep_metrics_device()))
+            if monitor_i is not None:
+                pending_monitor.append(self._monitor_device(int(monitor_i)))
+            if validate:
+                pending_validate.append(self._validate_device())
+        if monitor_i is not None:
+            dbg.log_monitor(logger, int(monitor_i),
+                            jax.device_get(pending_monitor))
+        if validate:
+            dbg.check_validation(jax.device_get(pending_validate),
+                                 dbg.BIGRAM_CHECKS)
         fetched = jax.device_get([(lp, m) for _, _, lp, m in pending])
         prev_t = start
         for i_iter, ((t_disp, temp, _, _),
@@ -346,6 +434,92 @@ class BigramAcousticWordseg:
 
     def _sync_boundaries_to_host(self):
         self.utterances.set_boundaries_from_device(self._boundaries_dev)
+
+    def _monitor_device(self, i: int):
+        """Enqueue (unigram-marginal candidate scores, boundaries,
+        transcript) of utterance ``i`` with the utterance held out
+        (reference bigram i_debug_monitor traces,
+        bigram_acoustic_wordseg.py:400-407)."""
+        if getattr(self, "_monitor_fn", None) is None:
+            am = self.acoustic_model
+            cov, prior = am.cov, am.prior
+            X, K_max, lms = am.X, am.K_max, am.lms
+            log_prior_vec = am.log_prior_vec
+            full_cov = cov.FULL_COV
+            utt = self.utterances
+            N_max, W_store = utt.N_max, utt.W
+            W_dp = (min(self.n_slices_max, N_max)
+                    if self.n_slices_max > 0 else N_max)
+            seg_ids_all, seg_durs_all = utt.seg_ids, utt.seg_durations
+            lengths_all = utt.lengths_dev
+            tpt, wip = self.time_power_term, self.wip
+            a, K_lm = self.lm.a, self.lm.K
+
+            def dp_slice(arr):
+                if W_store >= W_dp:
+                    return arr[..., :W_dp]
+                pad = [(0, 0)] * (arr.ndim - 1) + [(0, W_dp - W_store)]
+                fill = -1 if jnp.issubdtype(arr.dtype, jnp.integer) else jnp.nan
+                return jnp.pad(arr, pad, constant_values=fill)
+
+            @jax.jit
+            def monitor(stats, assignments, boundaries, lm_state, idx):
+                idx1 = idx[None]
+                lengths_blk = lengths_all[idx1]
+                seg_ids_blk = seg_ids_all[idx1]
+                old_embeds, _ = gather_block_segments(
+                    boundaries[idx1], lengths_blk, seg_ids_blk
+                )
+                old_ks = jnp.where(
+                    old_embeds >= 0,
+                    assignments[jnp.maximum(old_embeds, 0)], -1,
+                )
+                contrib = utterance_contrib(X, old_embeds, old_ks, K_max,
+                                            full_cov)
+                lo = leave_out_stats(stats, contrib)
+                uni_lo = lm_state.unigram_counts[None] - contrib.counts
+                params = jax.vmap(
+                    lambda s: cov.predictive_params(prior, s)
+                )(lo)
+                cand_ids = dp_slice(seg_ids_blk).reshape(1, N_max * W_dp)
+                Xc = X[jnp.maximum(cand_ids, 0)]
+                post = jax.vmap(cov.log_post_pred_batch)(params, Xc)
+                c = uni_lo.astype(X.dtype)
+                w = lms * (jnp.log(c + a / K_lm)
+                           - jnp.log(jnp.sum(c, axis=-1, keepdims=True) + a))
+                prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+                logits = w[:, None, :] + jnp.where(
+                    (lo.counts > 0)[:, None, :], post, prior_c[..., None]
+                )
+                log_margs = logsumexp(logits, axis=-1).reshape(1, N_max, W_dp)
+                scores = masked_candidate_scores(
+                    log_margs, dp_slice(seg_ids_blk),
+                    dp_slice(seg_durs_all[idx1]), tpt, wip,
+                )
+                return scores[0], boundaries[idx], old_ks[0]
+
+            self._monitor_fn = monitor
+        am = self.acoustic_model
+        return self._monitor_fn(am.stats, am.assignments,
+                                self._boundaries_dev, self.lm.state,
+                                jnp.int32(i))
+
+    def _validate_device(self):
+        if getattr(self, "_validate_fn", None) is None:
+            from ..utils import debug as dbg
+
+            lengths_all = self.utterances.lengths_dev
+
+            @jax.jit
+            def validate(stats, assignments, boundaries, lm_state):
+                return dbg.bigram_validation_flags(
+                    stats, assignments, boundaries, lengths_all, lm_state
+                )
+
+            self._validate_fn = validate
+        am = self.acoustic_model
+        return self._validate_fn(am.stats, am.assignments,
+                                 self._boundaries_dev, self.lm.state)
 
     def _run_blocks(self, blocks, anneal_temp, anneal_gibbs_am,
                     assignments_only) -> float:

@@ -74,11 +74,10 @@ class SegmentalKMeansWordseg:
             min_duration=min_duration,
         )
 
-        init_embeds = []
-        for i in range(self.utterances.D):
-            init_embeds.extend(self.utterances.get_segmented_embeds_i(i))
-        init_embeds = np.array(init_embeds, dtype=int)
-        init_embeds = init_embeds[init_embeds != -1]
+        # Batched native segmentation query (falls back to the per-
+        # utterance host loop; see Utterances.all_segmented_embeds).
+        all_embeds = self.utterances.all_segmented_embeds()
+        init_embeds = all_embeds[all_embeds >= 0]
         logger.info("No. initial embeddings: " + str(init_embeds.shape[0]))
 
         assignments = -1 * np.ones(N, dtype=int)
@@ -152,9 +151,17 @@ class SegmentalKMeansWordseg:
         order[0] = i
         return self._run_blocks(order.reshape(1, -1))
 
-    def segment(self, n_iter: int, n_iter_inbetween_kmeans: int = 0) -> dict:
+    def segment(self, n_iter: int, n_iter_inbetween_kmeans: int = 0,
+                monitor_i=None, validate: bool = False) -> dict:
         """Segment all utterances, optionally interleaving k-means iterations
-        (reference ``segment``, kmeans_acoustic_wordseg.py:353-425)."""
+        (reference ``segment``, kmeans_acoustic_wordseg.py:353-425).
+
+        ``monitor_i`` / ``validate``: per-sweep deep trace of one utterance
+        and opt-in invariant checks (the reference's ``i_debug_monitor`` /
+        ``segment_debug_only``, kmeans_acoustic_wordseg.py:19-20; see
+        ``utils/debug.py``)."""
+        from ..utils import debug as dbg
+
         logger.info("Segmenting for " + str(n_iter) + " iterations")
         record = {k: [] for k in (
             "sum_neg_sqrd_norm", "sum_neg_len_sqrd_norm", "components",
@@ -162,6 +169,8 @@ class SegmentalKMeansWordseg:
         # Asynchronous record loop (one batched fetch at the end) unless
         # in-between k-means iterations force a sync each sweep.
         pending = []
+        pending_monitor = []
+        pending_validate = []
         start = time.time()
         for i_iter in range(n_iter):
             order = self._rng.permutation(self.utterances.D)
@@ -169,10 +178,20 @@ class SegmentalKMeansWordseg:
             obj_dev = self._run_blocks_async(blocks)
             pending.append((time.time(), obj_dev,
                             self.acoustic_model.sweep_metrics_device()))
+            if monitor_i is not None:
+                pending_monitor.append(self._monitor_device(int(monitor_i)))
+            if validate:
+                pending_validate.append(self._validate_device())
             if n_iter_inbetween_kmeans > 0:
                 self.acoustic_model.fit(
                     n_iter_inbetween_kmeans, consider_unassigned=False
                 )
+        if monitor_i is not None:
+            dbg.log_monitor(logger, int(monitor_i),
+                            jax.device_get(pending_monitor))
+        if validate:
+            dbg.check_validation(jax.device_get(pending_validate),
+                                 dbg.KMEANS_CHECKS)
         fetched = jax.device_get([(o, m) for _, o, m in pending])
         prev_t = start
         for i_iter, ((t_disp, _, _), (obj, (snn, k_act, n_tok))) in enumerate(
@@ -197,6 +216,72 @@ class SegmentalKMeansWordseg:
 
     def _sync_boundaries_to_host(self):
         self.utterances.set_boundaries_from_device(self._boundaries_dev)
+
+    def _monitor_device(self, i: int):
+        """Enqueue (candidate neg-length-scaled distances, boundaries,
+        argmax transcript) of utterance ``i`` (reference i_debug_monitor,
+        kmeans_acoustic_wordseg.py:19, :269-287)."""
+        if getattr(self, "_monitor_fn", None) is None:
+            am = self.acoustic_model
+            X = am.X
+            utt = self.utterances
+            N_max, W_store = utt.N_max, utt.W
+            W_dp = (min(self.n_slices_max, N_max)
+                    if self.n_slices_max > 0 else N_max)
+            seg_ids_all, seg_durs_all = utt.seg_ids, utt.seg_durations
+            lengths_all = utt.lengths_dev
+            wip = self.wip
+
+            def dp_slice(a):
+                if W_store >= W_dp:
+                    return a[..., :W_dp]
+                pad = [(0, 0)] * (a.ndim - 1) + [(0, W_dp - W_store)]
+                fill = -1 if jnp.issubdtype(a.dtype, jnp.integer) else jnp.nan
+                return jnp.pad(a, pad, constant_values=fill)
+
+            @jax.jit
+            def monitor(state, random_means, boundaries, idx):
+                idx1 = idx[None]
+                lengths_blk = lengths_all[idx1]
+                seg_ids_blk = seg_ids_all[idx1]
+                means = means_from_state(state, random_means)
+                cand_ids = dp_slice(seg_ids_blk).reshape(-1)
+                best = jnp.max(
+                    neg_sqrd_norms(X[jnp.maximum(cand_ids, 0)], means),
+                    axis=-1,
+                ).reshape(1, N_max, W_dp)
+                durs = dp_slice(seg_durs_all[idx1]).astype(best.dtype)
+                scores = best * jnp.where(jnp.isnan(durs), 0.0, durs) + wip
+                invalid = (dp_slice(seg_ids_blk) < 0) | jnp.isnan(durs)
+                scores = jnp.where(invalid, NEG_INF, scores)
+                embeds, _ = gather_block_segments(
+                    boundaries[idx1], lengths_blk, seg_ids_blk
+                )
+                ks = jnp.where(
+                    embeds >= 0,
+                    state.assignments[jnp.maximum(embeds, 0)], -1,
+                )
+                return scores[0], boundaries[idx], ks[0]
+
+            self._monitor_fn = monitor
+        am = self.acoustic_model
+        return self._monitor_fn(am.state, am.random_means,
+                                self._boundaries_dev, jnp.int32(i))
+
+    def _validate_device(self):
+        if getattr(self, "_validate_fn", None) is None:
+            from ..utils import debug as dbg
+
+            lengths_all = self.utterances.lengths_dev
+
+            @jax.jit
+            def validate(state, boundaries):
+                return dbg.kmeans_validation_flags(state, boundaries,
+                                                   lengths_all)
+
+            self._validate_fn = validate
+        return self._validate_fn(self.acoustic_model.state,
+                                 self._boundaries_dev)
 
     def _run_blocks(self, blocks: np.ndarray) -> float:
         return float(self._run_blocks_async(blocks))

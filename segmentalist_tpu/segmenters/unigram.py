@@ -117,11 +117,10 @@ class UnigramAcousticWordseg:
         )
 
         # Embeddings in the initial segmentation.
-        init_embeds = []
-        for i in range(self.utterances.D):
-            init_embeds.extend(self.utterances.get_segmented_embeds_i(i))
-        init_embeds = np.array(init_embeds, dtype=int)
-        init_embeds = init_embeds[init_embeds != -1]
+        # Batched native segmentation query (falls back to the per-
+        # utterance host loop; see Utterances.all_segmented_embeds).
+        all_embeds = self.utterances.all_segmented_embeds()
+        init_embeds = all_embeds[all_embeds >= 0]
 
         key = jax.random.PRNGKey(seed)
         assignments = -1 * np.ones(N, dtype=int)
@@ -261,10 +260,21 @@ class UnigramAcousticWordseg:
     def gibbs_sample(self, n_iter: int, am_n_iter: int = 0,
                      anneal_schedule=None, anneal_start_temp_inv: float = 0.1,
                      anneal_end_temp_inv: float = 1.0, n_anneal_steps: int = -1,
-                     anneal_gibbs_am: bool = False) -> dict:
+                     anneal_gibbs_am: bool = False, monitor_i=None,
+                     validate: bool = False) -> dict:
         """Blocked Gibbs sampling over all utterances
-        (reference ``gibbs_sample``, unigram_acoustic_wordseg.py:362-472)."""
+        (reference ``gibbs_sample``, unigram_acoustic_wordseg.py:362-472).
+
+        ``monitor_i`` / ``validate``: per-sweep deep trace of one utterance
+        and opt-in sampler-invariant checks (the reference's
+        ``i_debug_monitor`` / NaN asserts; see ``utils/debug.py``).  Both
+        are enqueued on device and fetched in the same end-of-run batch, so
+        the loop stays sync-free.  (The reference's ``debug_gibbs_only``
+        mode -- sampling only the monitored utterance -- is
+        ``gibbs_sample_i(monitor_i)``.)
+        """
         from ..utils.annealing import anneal_temperatures
+        from ..utils import debug as dbg
 
         logger.info("Gibbs sampling for " + str(n_iter) + " iterations")
         temps = anneal_temperatures(
@@ -279,6 +289,8 @@ class UnigramAcousticWordseg:
         # without a host sync (a sync costs a full RPC round-trip on a
         # remote-attached TPU); everything is fetched in one batch at the end.
         pending = []
+        pending_monitor = []
+        pending_validate = []
         start = time.time()
         for i_iter in range(n_iter):
             if am_n_iter > 0:
@@ -291,7 +303,17 @@ class UnigramAcousticWordseg:
             log_prob_dev = self._run_blocks_async(blocks, temp, anneal_gibbs_am)
             metrics_dev = self.acoustic_model.sweep_metrics_device()
             pending.append((time.time(), temp, log_prob_dev, metrics_dev))
+            if monitor_i is not None:
+                pending_monitor.append(self._monitor_device(int(monitor_i)))
+            if validate:
+                pending_validate.append(self._validate_device())
 
+        if monitor_i is not None:
+            dbg.log_monitor(logger, int(monitor_i),
+                            jax.device_get(pending_monitor))
+        if validate:
+            dbg.check_validation(jax.device_get(pending_validate),
+                                 dbg.FBGMM_CHECKS)
         fetched = jax.device_get([(lp, m) for _, _, lp, m in pending])
         prev_t = start
         for i_iter, ((t_disp, temp, _, _), (log_prob, m_tuple)) in enumerate(
@@ -345,6 +367,92 @@ class UnigramAcousticWordseg:
 
     def _sync_boundaries_to_host(self):
         self.utterances.set_boundaries_from_device(self._boundaries_dev)
+
+    def _monitor_device(self, i: int):
+        """Enqueue (candidate scores, boundaries, transcript) of utterance
+        ``i`` scored with the utterance held out -- the same leave-out
+        quantities the sweep samples from (reference ``i_debug_monitor``
+        traces, unigram_acoustic_wordseg.py:262-307)."""
+        if getattr(self, "_monitor_fn", None) is None:
+            am = self.acoustic_model
+            cov, prior = am.cov, am.prior
+            X, K_max = am.X, am.K_max
+            alpha, lms = am.alpha, am.lms
+            log_prior_vec = am.log_prior_vec
+            full_cov = cov.FULL_COV
+            utt = self.utterances
+            N_max, W_store = utt.N_max, utt.W
+            W_dp = (min(self.n_slices_max, N_max)
+                    if self.n_slices_max > 0 else N_max)
+            seg_ids_all, seg_durs_all = utt.seg_ids, utt.seg_durations
+            lengths_all = utt.lengths_dev
+            tpt, wip = self.time_power_term, self.wip
+
+            def dp_slice(a):
+                if W_store >= W_dp:
+                    return a[..., :W_dp]
+                pad = [(0, 0)] * (a.ndim - 1) + [(0, W_dp - W_store)]
+                fill = -1 if a.dtype in (jnp.int32, jnp.int64) else jnp.nan
+                return jnp.pad(a, pad, constant_values=fill)
+
+            @jax.jit
+            def monitor(stats, assignments, boundaries, idx):
+                idx1 = idx[None]
+                lengths_blk = lengths_all[idx1]
+                seg_ids_blk = seg_ids_all[idx1]
+                old_embeds, _ = gather_block_segments(
+                    boundaries[idx1], lengths_blk, seg_ids_blk
+                )
+                old_ks = jnp.where(
+                    old_embeds >= 0,
+                    assignments[jnp.maximum(old_embeds, 0)], -1,
+                )
+                lo = leave_out_stats(
+                    stats,
+                    utterance_contrib(X, old_embeds, old_ks, K_max, full_cov),
+                )
+                params = jax.vmap(
+                    lambda s: cov.predictive_params(prior, s)
+                )(lo)
+                cand_ids = dp_slice(seg_ids_blk).reshape(1, N_max * W_dp)
+                Xc = X[jnp.maximum(cand_ids, 0)]
+                post = jax.vmap(cov.log_post_pred_batch)(params, Xc)
+                w = jax.vmap(
+                    lambda c: log_weights(c, alpha, K_max, lms, True, X.dtype)
+                )(lo.counts)
+                prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+                logits = w[:, None, :] + jnp.where(
+                    (lo.counts > 0)[:, None, :], post, prior_c[..., None]
+                )
+                log_margs = logsumexp(logits, axis=-1).reshape(1, N_max, W_dp)
+                scores = masked_candidate_scores(
+                    log_margs, dp_slice(seg_ids_blk),
+                    dp_slice(seg_durs_all[idx1]), tpt, wip,
+                )
+                return scores[0], boundaries[idx], old_ks[0]
+
+            self._monitor_fn = monitor
+        am = self.acoustic_model
+        return self._monitor_fn(am.stats, am.assignments,
+                                self._boundaries_dev, jnp.int32(i))
+
+    def _validate_device(self):
+        """Enqueue the sampler-invariant flags (see utils/debug.py)."""
+        if getattr(self, "_validate_fn", None) is None:
+            from ..utils import debug as dbg
+
+            lengths_all = self.utterances.lengths_dev
+
+            @jax.jit
+            def validate(stats, assignments, boundaries):
+                return dbg.fbgmm_validation_flags(
+                    stats, assignments, boundaries, lengths_all
+                )
+
+            self._validate_fn = validate
+        am = self.acoustic_model
+        return self._validate_fn(am.stats, am.assignments,
+                                 self._boundaries_dev)
 
     def _get_sweep_fn(self):
         if self._sweep_fn is None:

@@ -94,3 +94,46 @@ def test_kmeans_spread_init():
     assert counts.max() - counts[counts > 0].min() <= 1
     rec = seg.segment(2)
     assert np.isfinite(rec["sum_neg_sqrd_norm"]).all()
+
+
+def test_native_and_numpy_boundary_init_same_constraints():
+    """Both random-init paths (native rejection resampler and the numpy
+    fallback) must satisfy the identical constraints: final landmark on,
+    all spans within [n_slices_min, n_slices_max] (or N <= n_slices_min),
+    and at least one segment with a real embedding
+    (reference utterances.py:136-157)."""
+    from segmentalist_tpu import native
+
+    em, vi, du, lm, _ = synthetic_corpus(n_utterances=30, n_landmarks_max=7,
+                                         D=3, K_true=2, n_slices_max=3,
+                                         seed=3)
+    lengths = [len(lm[u]) for u in sorted(lm)]
+    vec_ids = [vi[u] for u in sorted(vi)]
+    durations = [du[u] for u in sorted(du)]
+    landmarks = [lm[u] for u in sorted(lm)]
+
+    def check(utt):
+        for i in range(utt.D):
+            N = utt.lengths[i]
+            assert utt.boundaries[i, N - 1]
+            embeds = np.asarray(utt.get_segmented_embeds_i(i))
+            assert (embeds != -1).any()
+            spans = [b - a for a, b in utt.get_segmented_landmark_indices(i)]
+            assert max(spans) <= 3 and min(spans) >= 1 or N <= 1
+
+    rng = np.random.RandomState(7)
+    utt_native = Utterances(lengths, vec_ids, durations, landmarks,
+                            p_boundary_init=0.5, n_slices_min=1,
+                            n_slices_max=3, rng=rng)
+    check(utt_native)
+
+    # Force the numpy fallback and re-check the identical constraints.
+    orig = native.init_boundaries_random
+    native.init_boundaries_random = lambda *a, **k: None
+    try:
+        utt_np = Utterances(lengths, vec_ids, durations, landmarks,
+                            p_boundary_init=0.5, n_slices_min=1,
+                            n_slices_max=3, rng=np.random.RandomState(7))
+        check(utt_np)
+    finally:
+        native.init_boundaries_random = orig

@@ -25,8 +25,11 @@ def test_unigram_sweep_on_8_device_mesh():
     np.testing.assert_array_equal(
         np.asarray(am.stats.counts), np.asarray(rebuilt.counts)
     )
+    # atol: delta-accumulated statistics of an emptied component leave
+    # ~1e-16 float residue where the rebuild has an exact zero.
     np.testing.assert_allclose(
-        np.asarray(am.stats.sum_x), np.asarray(rebuilt.sum_x), rtol=1e-8
+        np.asarray(am.stats.sum_x), np.asarray(rebuilt.sum_x), rtol=1e-8,
+        atol=1e-12,
     )
 
 
