@@ -37,6 +37,26 @@ from .unigram import process_embeddings
 logger = logging.getLogger(__name__)
 
 
+def forward_backward_kmeans_viterbi(vec_embed_neg_len_sqrd_norms, N,
+                                    n_slices_min=0, n_slices_max=0,
+                                    i_utt=None):
+    """Module-level segmental k-means Viterbi over one utterance's packed
+    triangular score vector (reference ``forward_backward_kmeans_viterbi``,
+    kmeans_acoustic_wordseg.py:449-555).  Returns ``(sum_neg_len_sqrd_norm,
+    boundaries)``."""
+    from .unigram import _tri_to_dense
+
+    W = min(n_slices_max, N) if n_slices_max > 0 else N
+    scores = jnp.asarray(
+        _tri_to_dense(vec_embed_neg_len_sqrd_norms, N, W)
+    )
+    obj, bounds = dp_ops.segment_dp(
+        scores, jnp.asarray([N], jnp.int32), jax.random.PRNGKey(0), 0.0,
+        1.0, n_slices_min=n_slices_min, n_slices_max=W, mode="viterbi",
+    )
+    return float(obj[0]), np.asarray(bounds[0])
+
+
 class SegmentalKMeansWordseg:
     """Segmental k-means word segmentation using acoustic word embeddings
     (constructor parity with ``kmeans_acoustic_wordseg.py:101-223``)."""

@@ -65,6 +65,55 @@ def process_embeddings(embedding_mats, vec_ids_dict):
     return np.concatenate(embeddings, axis=0), vec_ids, ids_to_utterance_labels
 
 
+def _tri_to_dense(vec, N, W):
+    """Packed triangular per-utterance score vector -> dense [1, N, W] scores
+    (see corpus.py for the layouts).  -inf where the span is out of range."""
+    vec = np.asarray(vec, dtype=float)
+    out = np.full((1, N, W), -np.inf)
+    for t in range(N):
+        base = (t + 1) * t // 2
+        for w in range(min(W, t + 1)):
+            out[0, t, w] = vec[base + t - w]
+    return out
+
+
+def forward_backward(vec_embed_log_probs, log_p_continue, N, n_slices_min=0,
+                     n_slices_max=0, i_utt=None, anneal_temp=1, key=None):
+    """Module-level FFBS over one utterance's packed triangular score vector
+    (reference ``forward_backward``, unigram_acoustic_wordseg.py:653-756).
+
+    Returns ``(log_prob, boundaries)`` exactly like the reference.  The
+    categorical draws use a JAX PRNG key; if ``key`` is None a seed is drawn
+    from numpy's global RNG (matching the reference's implicit global-RNG
+    dependence).
+    """
+    W = min(n_slices_max, N) if n_slices_max > 0 else N
+    scores = jnp.asarray(_tri_to_dense(vec_embed_log_probs, N, W))
+    if key is None:
+        key = jax.random.PRNGKey(int(np.random.randint(0, 2 ** 31 - 1)))
+    log_prob, bounds = dp_ops.segment_dp(
+        scores, jnp.asarray([N], jnp.int32), key, log_p_continue,
+        anneal_temp, n_slices_min=n_slices_min, n_slices_max=W,
+        mode="sample",
+    )
+    return float(log_prob[0]), np.asarray(bounds[0])
+
+
+def forward_backward_viterbi(vec_embed_log_probs, log_p_continue, N,
+                             n_slices_min=0, n_slices_max=0, i_utt=None,
+                             anneal_temp=None):
+    """Module-level Viterbi twin (reference ``forward_backward_viterbi``,
+    unigram_acoustic_wordseg.py:759-864)."""
+    W = min(n_slices_max, N) if n_slices_max > 0 else N
+    scores = jnp.asarray(_tri_to_dense(vec_embed_log_probs, N, W))
+    log_prob, bounds = dp_ops.segment_dp(
+        scores, jnp.asarray([N], jnp.int32), jax.random.PRNGKey(0),
+        log_p_continue, 1.0, n_slices_min=n_slices_min, n_slices_max=W,
+        mode="viterbi",
+    )
+    return float(log_prob[0]), np.asarray(bounds[0])
+
+
 class UnigramAcousticWordseg:
     """Unigram word segmentation of speech using acoustic word embeddings.
 

@@ -225,3 +225,71 @@ def test_ffbs_full_distribution_three_landmarks():
     for (b0, b1), pexp in expected.items():
         frac = np.mean((bounds[:, 0] == b0) & (bounds[:, 1] == b1))
         assert abs(frac - pexp) < 0.025, ((b0, b1), frac, pexp)
+
+
+def test_module_level_forward_backward_triangular_api():
+    """The reference-layout module functions (packed triangular input,
+    unigram_acoustic_wordseg.py:653-864, kmeans_acoustic_wordseg.py:449-555)
+    agree with brute-force enumeration over all segmentations."""
+    import itertools
+
+    from segmentalist_tpu.segmenters.kmeans_seg import (
+        forward_backward_kmeans_viterbi,
+    )
+    from segmentalist_tpu.segmenters.unigram import (
+        forward_backward,
+        forward_backward_viterbi,
+    )
+
+    rng = np.random.RandomState(0)
+    N, W = 4, 3
+    T = N * (N + 1) // 2
+    vec = rng.randn(T) * 2.0
+
+    def tri(t_excl, start):
+        return t_excl * (t_excl - 1) // 2 + start
+
+    def seg_score(pattern):  # pattern: boundary bools, last True
+        total, j_prev, n_seg = 0.0, 0, 0
+        for j, b in enumerate(pattern):
+            if b:
+                if j - j_prev + 1 > W:
+                    return -np.inf, 0
+                total += vec[tri(j + 1, j_prev)]
+                j_prev = j + 1
+                n_seg += 1
+        return total, n_seg
+
+    patterns = [p + (True,) for p in
+                itertools.product([False, True], repeat=N - 1)]
+    scored = {p: seg_score(p) for p in patterns}
+    best = max(patterns, key=lambda p: scored[p][0])
+
+    # Viterbi matches the brute-force argmax (and its score).
+    lp, bounds = forward_backward_viterbi(vec, 0.0, N, n_slices_max=W)
+    assert tuple(bounds[:N].tolist()) == best
+    npt.assert_allclose(lp, scored[best][0], rtol=1e-6)
+
+    # K-means variant: same max-product semantics.
+    obj, bounds_km = forward_backward_kmeans_viterbi(vec, N, n_slices_max=W)
+    assert tuple(bounds_km[:N].tolist()) == best
+    npt.assert_allclose(obj, scored[best][0], rtol=1e-6)
+
+    # FFBS sampling distribution matches the enumerated target, including
+    # the per-segment log_p_continue term.
+    lpc = np.log(0.7)
+    logp = np.array([
+        scored[p][0] + scored[p][1] * lpc if np.isfinite(scored[p][0])
+        else -np.inf
+        for p in patterns
+    ])
+    target = np.exp(logp - logp.max())
+    target /= target.sum()
+    n_draws = 3000
+    freq = {p: 0 for p in patterns}
+    for t in range(n_draws):
+        _, b = forward_backward(vec, lpc, N, n_slices_max=W,
+                                key=jax.random.PRNGKey(t))
+        freq[tuple(b[:N].tolist())] += 1
+    emp = np.array([freq[p] / n_draws for p in patterns])
+    assert 0.5 * np.abs(emp - target).sum() < 0.05, (emp, target)
