@@ -32,8 +32,8 @@ subsample and extrapolates to its per-sweep operation counts:
     (bigram_lms.py:56-91) for the sequential assignment chain
     (bigram_acoustic_wordseg.py:482-494), plus the corpus-replay log_prob_z
     (:287-305) once per sweep.
-  * DP: charged at one candidate-equivalent per landmark (conservative:
-    the reference runs 2 windowed Cython logsumexps per landmark).
+  * DP: a measured per-landmark windowed logsumexp + normalized draw
+    (unigram_acoustic_wordseg.py:691-751), charged once per landmark.
   * 2-D toy: the reference's entire per-item Gibbs body (delete, score
     K=4, draw, add) in a Python loop, charged N=100 times per sweep.
 
@@ -73,7 +73,7 @@ N_LANDMARKS_MAX = 20
 D_EMBED = 13
 K_COMPONENTS = 1000
 N_SLICES_MAX = 6
-BATCH_SIZE = 250
+BATCH_SIZE = 125
 N_SWEEPS = 5
 
 
@@ -195,6 +195,29 @@ def ref_full_candidate_seconds(K=K_COMPONENTS, D=D_EMBED):
 
     return best_of(lambda: [log_marg_i(xs[i]) for i in range(n_sample)],
                    n_sample)
+
+
+def ref_dp_landmark_seconds(W=N_SLICES_MAX):
+    """Per-landmark cost of the reference's FFBS DP: one windowed logsumexp
+    in the forward pass (unigram_acoustic_wordseg.py:691-703) plus one
+    normalized windowed draw in the backward pass (:709-751), as Python-loop
+    numpy on <= W-wide windows."""
+    rng = np.random.RandomState(0)
+    n_sample = 4000
+    windows = rng.randn(n_sample, W)
+    alphas = rng.randn(n_sample, W)
+
+    def one(i):
+        # forward step: logsumexp over the window
+        v = windows[i] + alphas[i]
+        m = v.max()
+        fwd = np.log(np.exp(v - m).sum()) + m
+        # backward step: normalize + inverse-CDF draw (utils.py:10-21)
+        p = np.exp(v - fwd)
+        c = np.cumsum(p / p.sum())
+        return np.searchsorted(c, 0.5)
+
+    return best_of(lambda: [one(i) for i in range(n_sample)], n_sample)
 
 
 def ref_full_update_seconds(D=D_EMBED):
@@ -430,7 +453,9 @@ def main():
     log("[unigram_fixed]")
     seg, dt_fixed, rec = run_unigram_fixed(em, vi, du, lm, truth)
     per_cand_fixed = ref_fixedvar_candidate_seconds()
-    ref_fixed = per_cand_fixed * (n_cand + n_landmarks)
+    dp_lm = ref_dp_landmark_seconds()
+    log("  reference DP emulation: %.2f us/landmark" % (dp_lm * 1e6))
+    ref_fixed = per_cand_fixed * n_cand + dp_lm * n_landmarks
     f1_fixed = f1_of(seg, truth)
     add("unigram_fixed", dt_fixed, ref_fixed, f1_fixed)
     n_tokens = int(rec["n_tokens"][-1])
@@ -443,7 +468,7 @@ def main():
     n_tokens_full = int(rec_f["n_tokens"][-1])
     # Per sweep the reference deletes and re-adds every token's embedding,
     # each triggering the O(D^3) cache update (gaussian_components:319-331).
-    ref_full = (per_cand_full * (n_cand + n_landmarks)
+    ref_full = (per_cand_full * n_cand + dp_lm * n_landmarks
                 + per_update_full * 2 * n_tokens_full)
     add("unigram_full", dt_full, ref_full, f1_of(seg_f, truth))
 
@@ -454,7 +479,7 @@ def main():
     per_tok_big = ref_bigram_token_seconds()
     n_tokens_big = int(rec_b["n_tokens"][-1])
     replay = ref_bigram_replay_seconds(n_tokens_big)
-    ref_big = (per_cand_big * (n_cand + n_landmarks)
+    ref_big = (per_cand_big * n_cand + dp_lm * n_landmarks
                + per_tok_big * n_tokens_big + replay)
     add("bigram", dt_big, ref_big, f1_of(seg_b, truth))
 
@@ -462,7 +487,7 @@ def main():
     log("[kmeans_wordseg]")
     seg_k, dt_km, _ = run_kmeans(em, vi, du, lm, truth)
     per_cand_km = ref_kmeans_candidate_seconds()
-    ref_km = per_cand_km * (n_cand + n_landmarks)
+    ref_km = per_cand_km * n_cand + dp_lm * n_landmarks
     add("kmeans_wordseg", dt_km, ref_km, f1_of(seg_k, truth))
 
     # ---- 1. 2-D toy clustering ----------------------------------------- #

@@ -855,10 +855,10 @@ class BigramAcousticWordseg:
                     uni_lo, pj, onehot_pi,
                 )
                 new_ks = fullcov_chain(
-                    prior, X, stats, lo_counts, touched, new_embeds, G_new,
-                    gumbel, log_prior_vec, 0.0, K_max, lms, assign_temp,
-                    use_argmax=False, weight_fn=bigram_weight_fn(big_table),
-                    aux_args=aux,
+                    prior, X, params_g, stats.counts, lo_counts, touched,
+                    new_embeds, G_new, gumbel, log_prior_vec, 0.0, K_max,
+                    lms, assign_temp, use_argmax=False,
+                    weight_fn=bigram_weight_fn(big_table), aux_args=aux,
                 )
             elif pallas_chain_ok:
                 from ..ops.pallas_chain import bigram_fixedvar_chain

@@ -151,15 +151,19 @@ def corrected_candidate_post(post, Xc, touched: Touched, K_max: int) -> Array:
     return post.at[b_idx, :, col].set(jnp.swapaxes(c, 1, 2), mode="drop")
 
 
-def fullcov_chain(prior, X, stats, lo_counts, touched: Touched, new_embeds,
-                  base_scores, gumbel, log_prior_vec, alpha, K_max: int,
-                  lms, temp, use_argmax: bool, weight_fn=None,
-                  aux_args=None) -> Array:
+def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
+                  touched: Touched, new_embeds, base_scores, gumbel,
+                  log_prior_vec, alpha, K_max: int, lms, temp,
+                  use_argmax: bool, weight_fn=None, aux_args=None) -> Array:
     """Sequential within-utterance assignment resampling for full covariance,
     carrying only the touched-component statistics (reference conditioning:
     ``fbgmm.py:422-463``; for the bigram driver pass ``weight_fn``).
 
     Arguments (per block):
+      stats_params PredParams [K, ...] predictive parameters of the block's
+                   GLOBAL statistics (the leave-out factors of components
+                   untouched by an utterance equal the global ones)
+      global_counts [K]       the block's global member counts
       lo_counts    [B, K]     leave-out counts (the chain updates its own copy)
       touched      Touched    initial touched set from ``touched_leave_out``
       new_embeds   [B, S_new] embedding ids of the new segments (-1 pads)
@@ -178,6 +182,30 @@ def fullcov_chain(prior, X, stats, lo_counts, touched: Touched, new_embeds,
     S_old = touched.tk.shape[1]
     T = S_old + S_new
     dtype = X.dtype
+    k_0, v_0 = prior.k_0, prior.v_0
+
+    # The chain carries each touched slot's posterior mean m_n and the
+    # inverse/log-determinant of the UNSCALED scale matrix
+    # P_n = S_0 + k_0 m_0 m_0^T + sum_sq - k_n m_n m_n^T, because adding one
+    # observation is a RANK-1 update of P:
+    #     P' = P + (k_n / (k_n + 1)) (x - m_n)(x - m_n)^T,
+    # so Sherman-Morrison + the matrix determinant lemma replace the O(D^3)
+    # per-step re-factorisation with an O(D^2) update whose dependency chain
+    # is one matvec -- the scan step's critical path shrinks ~2x.  The
+    # predictive parameters follow from (counts, m, invP, logdetP):
+    #     v = v_0 + n - D + 1,  s = (k_n + 1) / (k_n v),
+    #     inv_covar = invP / s,  logdet_covar = D log s + logdetP.
+    def n_to_sv(n):
+        n = n.astype(dtype)
+        k_n = k_0 + n
+        v = v_0 + n - D + 1.0
+        s = (k_n + 1.0) / (k_n * v)
+        return s, v, k_n
+
+    def params_to_P(inv_covar, logdet_covar, n):
+        s, _, _ = n_to_sv(n)
+        return inv_covar * s[..., None, None], \
+            logdet_covar - D * jnp.log(s)
 
     def pad_slots(a, fill=0.0):
         pad_shape = (B, S_new) + a.shape[2:]
@@ -185,14 +213,25 @@ def fullcov_chain(prior, X, stats, lo_counts, touched: Touched, new_embeds,
             [a, jnp.full(pad_shape, fill, a.dtype)], axis=1
         )
 
+    invP0, logdetP0 = params_to_P(
+        touched.params.inv_covar, touched.params.logdet_covar,
+        touched.counts,
+    )
     tk0 = pad_slots(touched.tk, -1)
-    t_sx0 = pad_slots(touched.sum_x)
-    t_ss0 = pad_slots(touched.sum_sq)
-    t_mu0 = pad_slots(touched.params.mu)
-    t_inv0 = pad_slots(touched.params.inv_covar)
-    t_ld0 = pad_slots(touched.params.logdet_covar)
-    t_v0 = pad_slots(touched.params.v, 1.0)
+    t_m0 = pad_slots(touched.params.mu)
+    t_invP0 = pad_slots(invP0)
+    t_ldP0 = pad_slots(logdetP0)
+    # Global (untouched) components' P-factors, for slots claimed mid-chain.
+    g_invP, g_ldP = params_to_P(
+        stats_params.inv_covar, stats_params.logdet_covar, global_counts
+    )
+    g_m = stats_params.mu
 
+    # For the default (unigram) weight term, lms * log(alpha/K + counts)
+    # changes in exactly one entry per step, so the chain carries the [K]
+    # weight vector and updates one scalar instead of recomputing a K-wide
+    # log every step (the scan's cost is K-wide ops, not the rank-1 algebra).
+    incremental_w = weight_fn is None
     if weight_fn is None:
         def weight_fn(counts, j_prev, aux_b):  # noqa: ARG001
             return log_weights(counts, alpha, K_max, lms,
@@ -200,22 +239,31 @@ def fullcov_chain(prior, X, stats, lo_counts, touched: Touched, new_embeds,
     if aux_args is None:
         aux_args = jnp.zeros((B,), jnp.int32)  # placeholder pytree
 
-    def one_chain(counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v,
+    def one_chain(counts, tk, t_m, t_invP, t_ldP,
                   embeds, base_rows, gumb, lpr_rows, j_prev0, aux_b):
+        w0 = log_weights(counts, alpha, K_max, lms,
+                         include_denominator=False, dtype=dtype)
+
         def step(carry, inp):
-            counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v, j_prev = carry
+            counts, w_carry, tk, t_m, t_invP, t_ldP, j_prev = carry
             e, base, g, lpr = inp
             ok = e >= 0
             x = X[jnp.maximum(e, 0)]
 
             # Exact leave-out scores: global columns + touched corrections.
-            delta = x[None, :] - t_mu  # [T, D]
-            maha = jnp.einsum("td,tde,te->t", delta, t_inv, delta,
-                              precision=_HI)
-            c = _student_t_from_maha(maha, t_ld, t_v, D)
+            tk_safe = jnp.maximum(tk, 0)
+            s_t, v_t, _ = n_to_sv(counts[tk_safe])
+            delta = x[None, :] - t_m  # [T, D]
+            maha = jnp.einsum("td,tde,te->t", delta, t_invP, delta,
+                              precision=_HI) / s_t
+            ld_t = t_ldP + D * jnp.log(s_t)
+            c = _student_t_from_maha(maha, ld_t, v_t, D)
             post = base.at[jnp.where(tk >= 0, tk, K_max)].set(c, mode="drop")
 
-            w = weight_fn(counts, j_prev, aux_b)
+            if incremental_w:
+                w = w_carry
+            else:
+                w = weight_fn(counts, j_prev, aux_b)
             logits = w + jnp.where(counts > 0, post, lpr)
             if use_argmax:
                 k = jnp.argmax(logits)
@@ -227,39 +275,50 @@ def fullcov_chain(prior, X, stats, lo_counts, touched: Touched, new_embeds,
 
             # Slot bookkeeping: reuse the component's slot or claim a free
             # one (T = S_old + S_new guarantees a free slot exists).
+            # Untouched components' leave-out factors equal the global ones.
             match = tk == k
             has = jnp.any(match)
             slot = jnp.where(has, jnp.argmax(match), jnp.argmax(tk == -1))
-            # Untouched components' leave-out stats equal the global stats.
-            sx = jnp.where(has, t_sx[slot], stats.sum_x[k])
-            ss = jnp.where(has, t_ss[slot], stats.sum_sq[k])
-            okf = ok.astype(dtype)
-            sx = sx + okf * x
-            ss = ss + okf * (x[:, None] * x[None, :])
+            m = jnp.where(has, t_m[slot], g_m[k])
+            invP = jnp.where(has, t_invP[slot], g_invP[k])
+            ldP = jnp.where(has, t_ldP[slot], g_ldP[k])
+
+            # Rank-1 Sherman-Morrison update of (invP, logdetP) and the
+            # conjugate mean update m' = (k_n m + x) / (k_n + 1).
+            _, _, k_n = n_to_sv(counts[k])
+            beta = k_n / (k_n + 1.0)
+            d = x - m
+            u = jnp.einsum("de,e->d", invP, d, precision=_HI)
+            denom = 1.0 + beta * jnp.dot(d, u, precision=_HI)
+            invP = invP - (beta / denom) * u[:, None] * u[None, :]
+            ldP = ldP + jnp.log(denom)
+            m = (k_n * m + x) / (k_n + 1.0)
+
             counts = counts.at[k].add(ok.astype(counts.dtype))
-
-            m_n, covar, v = _derive_covar(prior, counts[k], sx, ss)
-            inv, logdet = _chol_inv_logdet(covar)
-
+            if incremental_w:
+                w_carry = w_carry.at[jnp.where(ok, k, K_max)].set(
+                    lms * jnp.log(alpha / K_max + counts[k].astype(dtype)),
+                    mode="drop",
+                )
             slot_w = jnp.where(ok, slot, T)
             tk = tk.at[slot_w].set(k.astype(tk.dtype), mode="drop")
-            t_sx = t_sx.at[slot_w].set(sx, mode="drop")
-            t_ss = t_ss.at[slot_w].set(ss, mode="drop")
-            t_mu = t_mu.at[slot_w].set(m_n, mode="drop")
-            t_inv = t_inv.at[slot_w].set(inv, mode="drop")
-            t_ld = t_ld.at[slot_w].set(logdet, mode="drop")
-            t_v = t_v.at[slot_w].set(v, mode="drop")
+            t_m = t_m.at[slot_w].set(m, mode="drop")
+            t_invP = t_invP.at[slot_w].set(invP, mode="drop")
+            t_ldP = t_ldP.at[slot_w].set(ldP, mode="drop")
             j_prev = jnp.where(ok, k.astype(jnp.int32), j_prev)
-            carry = (counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v, j_prev)
+            carry = (counts, w_carry, tk, t_m, t_invP, t_ldP, j_prev)
             return carry, jnp.where(ok, k.astype(jnp.int32), -1)
 
-        init = (counts, tk, t_sx, t_ss, t_mu, t_inv, t_ld, t_v, j_prev0)
-        _, ks = jax.lax.scan(step, init, (embeds, base_rows, gumb, lpr_rows))
+        init = (counts, w0, tk, t_m, t_invP, t_ldP, j_prev0)
+        # unroll: the scan body is many small ops, so the TPU's
+        # per-iteration loop overhead dominates; unrolling amortises it.
+        _, ks = jax.lax.scan(step, init, (embeds, base_rows, gumb, lpr_rows),
+                             unroll=4)
         return ks
 
     j_prev0 = jnp.full((B,), -1, jnp.int32)
     lpr = log_prior_vec[jnp.maximum(new_embeds, 0)]
     return jax.vmap(one_chain)(
-        lo_counts, tk0, t_sx0, t_ss0, t_mu0, t_inv0, t_ld0, t_v0,
+        lo_counts, tk0, t_m0, t_invP0, t_ldP0,
         new_embeds, base_scores, gumbel, lpr, j_prev0, aux_args,
     )

@@ -730,9 +730,9 @@ class UnigramAcousticWordseg:
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape(B, S, K_max)
                 new_ks = fullcov_chain(
-                    prior, X, stats, lo_counts, touched, new_embeds, G_new,
-                    gumbel, log_prior_vec, alpha, K_max, lms_eff,
-                    assign_temp, use_argmax=viterbi_assign,
+                    prior, X, params_g, stats.counts, lo_counts, touched,
+                    new_embeds, G_new, gumbel, log_prior_vec, alpha, K_max,
+                    lms_eff, assign_temp, use_argmax=viterbi_assign,
                 )
             else:
                 new_ks = run_chains(lo, params_b, new_embeds, gumbel,

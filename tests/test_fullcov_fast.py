@@ -147,8 +147,8 @@ def test_fullcov_chain_matches_dense_chain():
         params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, D)
     ).reshape(B, S, K)
     fast_ks = fullcov_chain(
-        prior, X, stats, lo.counts, touched, new_embeds, G_new, gumbel,
-        log_prior_vec, alpha, K, lms, temp, use_argmax=False,
+        prior, X, params_g, stats.counts, lo.counts, touched, new_embeds,
+        G_new, gumbel, log_prior_vec, alpha, K, lms, temp, use_argmax=False,
     )
     np.testing.assert_array_equal(np.asarray(dense_ks), np.asarray(fast_ks))
 
@@ -171,11 +171,11 @@ def test_fullcov_chain_viterbi_matches():
     ).reshape(B, S, K)
     # Viterbi (argmax) equals temp->0 Gumbel-max with zero noise.
     vit = fullcov_chain(
-        prior, X, stats, lo.counts, touched, new_embeds, G_new, gumbel,
-        log_prior_vec, 1.0, K, 1.0, 1.0, use_argmax=True,
+        prior, X, params_g, stats.counts, lo.counts, touched, new_embeds,
+        G_new, gumbel, log_prior_vec, 1.0, K, 1.0, 1.0, use_argmax=True,
     )
     gm = fullcov_chain(
-        prior, X, stats, lo.counts, touched, new_embeds, G_new, gumbel,
-        log_prior_vec, 1.0, K, 1.0, 1e-6, use_argmax=False,
+        prior, X, params_g, stats.counts, lo.counts, touched, new_embeds,
+        G_new, gumbel, log_prior_vec, 1.0, K, 1.0, 1e-6, use_argmax=False,
     )
     np.testing.assert_array_equal(np.asarray(vit), np.asarray(gm))
