@@ -28,7 +28,7 @@ N_LM = 20
 D = 13
 K = 1000
 W = 6
-B = 250
+B = 125
 SWEEPS = 5
 
 
