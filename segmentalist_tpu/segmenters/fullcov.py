@@ -63,15 +63,15 @@ class Touched(NamedTuple):
 
     tk      [B, S]        touched component ids; -1 for pads and duplicates
     counts  [B, S]        leave-one-utterance-out member counts
-    sum_x   [B, S, D]     leave-out first-moment sums
-    sum_sq  [B, S, D, D]  leave-out second-moment sums
     params  PredParams    leave-out predictive parameters, [B, S, ...]
+
+    (The leave-out moment sums are intermediates of ``touched_leave_out``
+    only: the chain evolves (m, inv P, logdet P) by rank-1 updates and never
+    needs raw statistics.)
     """
 
     tk: Array
     counts: Array
-    sum_x: Array
-    sum_sq: Array
     params: PredParams
 
 
@@ -114,8 +114,7 @@ def touched_leave_out(prior, stats, X, old_embeds, old_ks) -> Touched:
     m_n, covar, v = _derive_covar(prior, lo_counts, lo_sum_x, lo_sum_sq)
     inv, logdet = _chol_inv_logdet(covar)
     params = PredParams(mu=m_n, inv_covar=inv, logdet_covar=logdet, v=v)
-    return Touched(tk=tk, counts=lo_counts, sum_x=lo_sum_x,
-                   sum_sq=lo_sum_sq, params=params)
+    return Touched(tk=tk, counts=lo_counts, params=params)
 
 
 def counts_contrib(old_ks, valid_mask, K_max: int) -> Array:
