@@ -627,6 +627,20 @@ class _ComponentsView:
     def del_item(self, i):
         self._o.del_item(i)
 
+    def del_component(self, k):
+        """Remove component ``k``: unassign its members and zero its
+        statistics (reference ``del_component``,
+        gaussian_components.py:188-205).  No swap-with-last relabelling --
+        slot masking keeps labels stable (ops/stats.py docstring)."""
+        o = self._o
+        k = int(k)
+        o.stats = SuffStats(
+            counts=o.stats.counts.at[k].set(0),
+            sum_x=o.stats.sum_x.at[k].set(0.0),
+            sum_sq=o.stats.sum_sq.at[k].set(0.0),
+        )
+        o.assignments = jnp.where(o.assignments == k, -1, o.assignments)
+
 
 def _make_consecutive(assignments: np.ndarray) -> np.ndarray:
     """Relabel assignments to consecutive 0..K-1 (reference fbgmm.py:123-128)."""

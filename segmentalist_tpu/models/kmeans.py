@@ -157,7 +157,8 @@ class KMeans:
 
     # ------------------------------------------------------------------- fit
 
-    def fit(self, n_iter: int, consider_unassigned: bool = True) -> dict:
+    def fit(self, n_iter: int, consider_unassigned: bool = True,
+            no_empty: bool = True) -> dict:
         """Batch k-means iterations with deferred mean updates and early stop
         (reference ``fit``, kmeans.py:97-173)."""
         record = {k: [] for k in (

@@ -298,6 +298,17 @@ class BigramAcousticWordseg:
         out[ok] = out[ok] * durations[ok] ** self.time_power_term
         return out + self.wip
 
+    def get_vec_embed_log_probs_bigram(self, vec_ids, durations):
+        """Raising seam: the reference's bigram candidate scorer is an
+        unimplemented stub (``get_vec_embed_log_probs_bigram``,
+        bigram_acoustic_wordseg.py:694-695, body ``pass``); kept here so a
+        future native bigram DP has a place to plug in."""
+        raise NotImplementedError(
+            "bigram candidate scoring is an unimplemented stub in the "
+            "reference (bigram_acoustic_wordseg.py:694-695); use "
+            "get_vec_embed_log_probs_unigram (fb_type='unigram')"
+        )
+
     def gibbs_sample_inside_loop_i_embed(self, i_embed: int,
                                          j_prev_assignment: int = -1,
                                          anneal_temp: float = 1.0) -> int:

@@ -151,3 +151,40 @@ def test_set_k_reassigns_in_one_device_call():
                            np.asarray(rebuilt.counts))
     npt.assert_allclose(np.asarray(model.stats.sum_x),
                         np.asarray(rebuilt.sum_x), rtol=1e-9, atol=1e-12)
+
+
+def test_components_view_del_component():
+    """components.del_component(k) unassigns the slot's members and zeroes
+    its statistics (reference del_component, gaussian_components.py:188-205;
+    masked slots instead of swap-with-last relabelling)."""
+    rng = np.random.RandomState(5)
+    X = rng.randn(20, D)
+    np.random.seed(5)
+    model = FBGMM(X, _prior(), alpha=1.0, K=4, assignments="rand",
+                  covariance_type="fixed")
+    k = int(np.asarray(model.assignments)[0])
+    n_members = int((np.asarray(model.assignments) == k).sum())
+    n_before = model.get_n_assigned()
+    model.components.del_component(k)
+    assert int(model.stats.counts[k]) == 0
+    npt.assert_allclose(np.asarray(model.stats.sum_x[k]), 0.0, atol=1e-12)
+    assert model.get_n_assigned() == n_before - n_members
+    assert not (np.asarray(model.assignments) == k).any()
+
+
+def test_bigram_dp_stub_raises():
+    seg = _bigram(seed=16)
+    with pytest.raises(NotImplementedError):
+        seg.get_vec_embed_log_probs_bigram([0, 1], [1.0, 2.0])
+
+
+def test_kmeans_fit_no_empty_kwarg():
+    """Signature parity with the reference fit(n_iter, consider_unassigned,
+    no_empty) (kmeans.py:97; no_empty is vestigial there too)."""
+    from segmentalist_tpu import KMeans
+
+    rng = np.random.RandomState(6)
+    np.random.seed(6)
+    km = KMeans(rng.randn(30, D), 4, "rand")
+    rec = km.fit(3, consider_unassigned=True, no_empty=True)
+    assert np.isfinite(rec["sum_neg_sqrd_norm"]).all()
