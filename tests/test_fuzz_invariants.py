@@ -34,8 +34,13 @@ def _check_segmentation(seg):
         assert (a >= 0).sum() == n_tokens
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_unigram_fuzz(seed):
+@pytest.mark.parametrize("seed,cov_type", [
+    (0, "fixed"), (1, "fixed"), (2, "fixed"),
+    (7, "diag"), (8, "full"), (10, "full"),
+])
+def test_unigram_fuzz(seed, cov_type):
+    from segmentalist_tpu import NIW
+
     rng = np.random.RandomState(seed)
     n_lm = rng.randint(3, 9)
     W = rng.randint(2, min(5, n_lm) + 1)
@@ -43,19 +48,27 @@ def test_unigram_fuzz(seed):
     em, vi, du, lm, _ = synthetic_corpus(
         n_utterances=rng.randint(3, 9), n_landmarks_max=n_lm, D=D,
         K_true=rng.randint(2, 4), n_slices_max=W, seed=seed)
-    prior = FixedVarPrior.create(0.05 * np.ones(D), np.zeros(D), np.ones(D))
+    if cov_type == "fixed":
+        prior = FixedVarPrior.create(0.05 * np.ones(D), np.zeros(D),
+                                     np.ones(D))
+    elif cov_type == "diag":
+        prior = NIW.create(np.zeros(D), 0.1, float(D) + 3.0,
+                           0.2 * np.ones(D))
+    else:
+        prior = NIW.create(np.zeros(D), 0.1, float(D) + 3.0,
+                           0.2 * np.eye(D) + 0.02 * np.ones((D, D)))
     np.random.seed(seed)
     seg = UnigramAcousticWordseg(
         FBGMM, am_alpha=float(rng.uniform(0.5, 5)), am_K=rng.randint(3, 10),
         am_param_prior=prior, embedding_mats=em, vec_ids_dict=vi,
-        durations_dict=du, landmarks_dict=lm,
+        durations_dict=du, landmarks_dict=lm, covariance_type=cov_type,
         p_boundary_init=float(rng.uniform(0.2, 0.9)),
         beta_sent_boundary=float(rng.choice([-1, 2.0])),
         n_slices_min=int(rng.choice([0, 1])), n_slices_max=W,
         time_power_term=float(rng.choice([1.0, 1.2])),
         wip=float(rng.uniform(-1, 1)), batch_size=int(rng.randint(1, 5)),
         seed=seed)
-    rec = seg.gibbs_sample(3)
+    rec = seg.gibbs_sample(3, validate=True)
     assert np.isfinite(rec["log_marg"]).all()
     _check_segmentation(seg)
 
