@@ -58,6 +58,26 @@ Array = jnp.ndarray
 _HI = jax.lax.Precision.HIGHEST
 
 
+def n_to_sv(k_0, v_0, D: int, n, dtype):
+    """Predictive-parameter scalars from a member count ``n``:
+    ``v = v_0 + n - D + 1``, ``s = (k_n + 1) / (k_n v)`` with ``k_n = k_0 + n``
+    (NIW predictive, reference ``gaussian_components.py:228-251``)."""
+    n = n.astype(dtype)
+    k_n = k_0 + n
+    v = v_0 + n - D + 1.0
+    s = (k_n + 1.0) / (k_n * v)
+    return s, v, k_n
+
+
+def params_to_P(inv_covar, logdet_covar, n, k_0, v_0, D: int):
+    """Predictive (inv_covar, logdet_covar) -> the UNSCALED scale-matrix
+    factors (inv P, logdet P) the rank-1 chain updates evolve (P_n = S_0 +
+    k_0 m_0 m_0^T + sum_sq - k_n m_n m_n^T; covar = s * P with s from
+    :func:`n_to_sv`)."""
+    s, _, _ = n_to_sv(k_0, v_0, D, n, inv_covar.dtype)
+    return inv_covar * s[..., None, None], logdet_covar - D * jnp.log(s)
+
+
 class Touched(NamedTuple):
     """Per-utterance touched-component view (all [B, S, ...]).
 
@@ -150,6 +170,23 @@ def corrected_candidate_post(post, Xc, touched: Touched, K_max: int) -> Array:
     return post.at[b_idx, :, col].set(jnp.swapaxes(c, 1, 2), mode="drop")
 
 
+def pallas_chain_inputs(prior, stats_params, global_counts, touched: Touched):
+    """P-form tables for :func:`ops.pallas_chain.fullcov_chain_pallas`:
+    touched-slot (counts, m, invP, ldP, tk) plus the global component tables
+    claimed slots pull from (untouched leave-out factors == global)."""
+    D = stats_params.mu.shape[-1]
+    invP0, ldP0 = params_to_P(
+        touched.params.inv_covar, touched.params.logdet_covar,
+        touched.counts, prior.k_0, prior.v_0, D,
+    )
+    g_invP, g_ldP = params_to_P(
+        stats_params.inv_covar, stats_params.logdet_covar, global_counts,
+        prior.k_0, prior.v_0, D,
+    )
+    return (touched.counts, touched.params.mu, invP0, ldP0, touched.tk,
+            stats_params.mu, g_invP, g_ldP)
+
+
 def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
                   touched: Touched, new_embeds, base_scores, gumbel,
                   log_prior_vec, alpha, K_max: int, lms, temp,
@@ -194,17 +231,11 @@ def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
     # predictive parameters follow from (counts, m, invP, logdetP):
     #     v = v_0 + n - D + 1,  s = (k_n + 1) / (k_n v),
     #     inv_covar = invP / s,  logdet_covar = D log s + logdetP.
-    def n_to_sv(n):
-        n = n.astype(dtype)
-        k_n = k_0 + n
-        v = v_0 + n - D + 1.0
-        s = (k_n + 1.0) / (k_n * v)
-        return s, v, k_n
+    def _n_to_sv(n):
+        return n_to_sv(k_0, v_0, D, n, dtype)
 
-    def params_to_P(inv_covar, logdet_covar, n):
-        s, _, _ = n_to_sv(n)
-        return inv_covar * s[..., None, None], \
-            logdet_covar - D * jnp.log(s)
+    def _params_to_P(inv_covar, logdet_covar, n):
+        return params_to_P(inv_covar, logdet_covar, n, k_0, v_0, D)
 
     def pad_slots(a, fill=0.0):
         pad_shape = (B, S_new) + a.shape[2:]
@@ -212,7 +243,7 @@ def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
             [a, jnp.full(pad_shape, fill, a.dtype)], axis=1
         )
 
-    invP0, logdetP0 = params_to_P(
+    invP0, logdetP0 = _params_to_P(
         touched.params.inv_covar, touched.params.logdet_covar,
         touched.counts,
     )
@@ -221,7 +252,7 @@ def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
     t_invP0 = pad_slots(invP0)
     t_ldP0 = pad_slots(logdetP0)
     # Global (untouched) components' P-factors, for slots claimed mid-chain.
-    g_invP, g_ldP = params_to_P(
+    g_invP, g_ldP = _params_to_P(
         stats_params.inv_covar, stats_params.logdet_covar, global_counts
     )
     g_m = stats_params.mu
@@ -251,7 +282,7 @@ def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
 
             # Exact leave-out scores: global columns + touched corrections.
             tk_safe = jnp.maximum(tk, 0)
-            s_t, v_t, _ = n_to_sv(counts[tk_safe])
+            s_t, v_t, _ = _n_to_sv(counts[tk_safe])
             delta = x[None, :] - t_m  # [T, D]
             maha = jnp.einsum("td,tde,te->t", delta, t_invP, delta,
                               precision=_HI) / s_t
@@ -284,7 +315,7 @@ def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
 
             # Rank-1 Sherman-Morrison update of (invP, logdetP) and the
             # conjugate mean update m' = (k_n m + x) / (k_n + 1).
-            _, _, k_n = n_to_sv(counts[k])
+            _, _, k_n = _n_to_sv(counts[k])
             beta = k_n / (k_n + 1.0)
             d = x - m
             u = jnp.einsum("de,e->d", invP, d, precision=_HI)

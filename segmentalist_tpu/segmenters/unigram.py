@@ -633,6 +633,7 @@ class UnigramAcousticWordseg:
             corrected_candidate_post,
             counts_contrib,
             fullcov_chain,
+            pallas_chain_inputs,
             touched_leave_out,
         )
 
@@ -729,11 +730,29 @@ class UnigramAcousticWordseg:
                     params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, -1),
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape(B, S, K_max)
-                new_ks = fullcov_chain(
-                    prior, X, params_g, stats.counts, lo_counts, touched,
-                    new_embeds, G_new, gumbel, log_prior_vec, alpha, K_max,
-                    lms_eff, assign_temp, use_argmax=viterbi_assign,
-                )
+                if pallas:
+                    from ..ops.pallas_chain import fullcov_chain_pallas
+
+                    (scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld) = (
+                        pallas_chain_inputs(prior, params_g, stats.counts,
+                                            touched)
+                    )
+                    new_ks = fullcov_chain_pallas(
+                        new_embeds, X[jnp.maximum(new_embeds, 0)],
+                        log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                        G_new, lo_counts, scnt0, tm0, tiP0, tld0, tk0,
+                        g_m, g_iP, g_ld, float(prior.k_0), float(prior.v_0),
+                        assign_temp, alpha=alpha, K=K_max, lms=lms_eff,
+                        use_argmax=viterbi_assign,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                else:
+                    new_ks = fullcov_chain(
+                        prior, X, params_g, stats.counts, lo_counts, touched,
+                        new_embeds, G_new, gumbel, log_prior_vec, alpha,
+                        K_max, lms_eff, assign_temp,
+                        use_argmax=viterbi_assign,
+                    )
             else:
                 new_ks = run_chains(lo, params_b, new_embeds, gumbel,
                                     assign_temp)

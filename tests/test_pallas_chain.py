@@ -247,3 +247,61 @@ def test_lgamma_stirling_accuracy():
     ]).astype(np.float64))
     got = np.asarray(_lgamma_stirling(z))
     npt.assert_allclose(got, sp_gammaln(np.asarray(z)), rtol=1e-7, atol=1e-7)
+
+
+def test_fullcov_pallas_chain_matches_xla_scan():
+    """The full-covariance Pallas chain and its XLA twin consume the same
+    Gumbel noise and must sample identical chains (diag-style Stirling-lgamma
+    tolerance caveat applies only on real TPUs; interpret mode is exact)."""
+    from segmentalist_tpu.models import components_full as cf
+    from segmentalist_tpu.ops.pallas_chain import fullcov_chain_pallas
+    from segmentalist_tpu.ops.stats import suff_stats_from_assignments
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.segmenters.common import (
+        leave_out_stats, utterance_contrib)
+    from segmentalist_tpu.segmenters.fullcov import (
+        fullcov_chain, pallas_chain_inputs, touched_leave_out)
+
+    D, K, N = 4, 6, 40
+    rng = np.random.RandomState(2)
+    X = jnp.asarray(rng.randn(N, D))
+    prior = NIW.create(np.zeros(D), 1.0, D + 2.0,
+                       np.eye(D) + 0.1 * np.ones((D, D)))
+    assignments = jnp.asarray(rng.randint(-1, K - 2, N), dtype=jnp.int32)
+    stats = suff_stats_from_assignments(X, assignments, K, full_cov=True)
+    old_embeds = jnp.asarray(
+        [[0, 1, 2, -1], [3, 3, 4, 5], [-1, -1, -1, -1]], dtype=jnp.int32)
+    old_ks = jnp.where(old_embeds >= 0,
+                       assignments[jnp.maximum(old_embeds, 0)], -1)
+    B = old_embeds.shape[0]
+    log_prior_vec = cf.log_prior_batch(prior, X)
+    new_embeds = jnp.asarray(
+        [[6, 7, 8, -1, -1], [9, 10, 11, 12, -1], [13, -1, -1, -1, -1]],
+        dtype=jnp.int32)
+    gumbel = jax.random.gumbel(
+        jax.random.PRNGKey(7), new_embeds.shape + (K,), dtype=X.dtype)
+    alpha, lms, temp = 1.0, 1.0, 1.0
+
+    lo = leave_out_stats(
+        stats, utterance_contrib(X, old_embeds, old_ks, K, full_cov=True))
+    params_g = cf.predictive_params(prior, stats)
+    touched = touched_leave_out(prior, stats, X, old_embeds, old_ks)
+    S = new_embeds.shape[1]
+    G_new = cf.log_post_pred_batch(
+        params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, D)
+    ).reshape(B, S, K)
+    inputs = pallas_chain_inputs(prior, params_g, stats.counts, touched)
+    (scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld) = inputs
+
+    for use_argmax in (False, True):
+        xla_ks = fullcov_chain(
+            prior, X, params_g, stats.counts, lo.counts, touched, new_embeds,
+            G_new, gumbel, log_prior_vec, alpha, K, lms, temp,
+            use_argmax=use_argmax)
+        pal_ks = fullcov_chain_pallas(
+            new_embeds, X[jnp.maximum(new_embeds, 0)],
+            log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel, G_new,
+            lo.counts, scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld,
+            float(prior.k_0), float(prior.v_0), temp,
+            alpha=alpha, K=K, lms=lms, use_argmax=use_argmax, interpret=True)
+        npt.assert_array_equal(np.asarray(xla_ks), np.asarray(pal_ks))
