@@ -74,7 +74,10 @@ D_EMBED = 13
 K_COMPONENTS = 1000
 N_SLICES_MAX = 6
 BATCH_SIZE = 125
-N_SWEEPS = 5
+# Each gibbs_sample call ends with ONE batched device fetch -- a full RPC
+# round-trip on a remote-attached chip (30-150 ms observed).  Enough sweeps
+# per timed call amortise it below the noise floor.
+N_SWEEPS = 20
 
 
 def log(msg):
@@ -403,6 +406,8 @@ def run_kmeans(em, vi, du, lm, truth):
 def run_2d_fbgmm():
     from segmentalist_tpu import FBGMM
 
+    from segmentalist_tpu.models.fbgmm import _SWEEP_CHUNK
+
     rng = np.random.RandomState(1)
     X = np.vstack([rng.randn(25, 2) + c for c in
                    ([0, 0], [4, 4], [-4, 4], [4, -4])]).astype(np.float32)
@@ -410,7 +415,9 @@ def run_2d_fbgmm():
     model = FBGMM(X, fixed_prior_2d(), alpha=1.0, K=4, assignments="rand",
                   covariance_type="fixed")
     t0 = time.time()
-    model.gibbs_sample(1, mode="blocked")
+    # Warm both dispatch paths (the fused _SWEEP_CHUNK-sweep scan and the
+    # single-sweep remainder) so the timed run is compile-free.
+    model.gibbs_sample(_SWEEP_CHUNK + 1, mode="blocked")
     log("  warmup (incl. compile): %.1fs" % (time.time() - t0))
     t0 = time.time()
     model.gibbs_sample(100, mode="blocked")
