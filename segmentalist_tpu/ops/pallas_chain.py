@@ -50,6 +50,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_b_tile(per_utt_bytes: float, cap: int, B: int,
+                 shared_bytes: float = 0.0,
+                 budget: float = 12 * 2 ** 20) -> int:
+    """Largest utterances-per-program tile whose VMEM footprint (inputs +
+    carries + temps, estimated per utterance) fits the scoped-VMEM budget.
+
+    The chain kernels' static tile sizes OOM'ed scoped VMEM once utterances
+    got long (S = 120 landmarks -> [B_tile, S, K_pad] blocks of ~8 MB each);
+    the budget leaves headroom below the 16 MB limit for Mosaic's
+    double-buffering of streamed inputs."""
+    bt = min(cap, _round_up(B, 8))
+    while bt > 1 and shared_bytes + per_utt_bytes * bt > budget:
+        bt //= 2
+    return max(bt, 1)
+
+
 def _tile_step_bounds(embeds, S: int, B: int, B_pad: int, B_tile: int):
     """[n_tiles, 1] per-tile max valid-segment count.  Segments are packed
     from slot 0 (``segmenters.common.segments_from_boundaries``), so the
@@ -94,7 +110,9 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     B, S, D = Xe.shape
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
-    B_tile = min(_B_TILE, _round_up(B, 8))
+    B_tile = _pick_b_tile(
+        4.0 * (S * K_pad + 5 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
+        _B_TILE, B)
     B_pad = _round_up(B, B_tile)
     dtype = Xe.dtype
     Kf = float(K)
@@ -279,7 +297,9 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     B, S, D = Xe.shape
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
-    B_tile = min(8, _round_up(B, 8))  # big_table costs 4MB of VMEM
+    B_tile = _pick_b_tile(
+        4.0 * (2 * S * K_pad + 6 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
+        8, B, shared_bytes=4.0 * K_pad * K_pad)
     B_pad = _round_up(B, B_tile)
     dtype = Xe.dtype
     Kf = float(K)
@@ -521,7 +541,9 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     B, S, D = Xe.shape
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
-    B_tile = min(8, _round_up(B, 8))  # extra [D, K] carries vs fixedvar
+    B_tile = _pick_b_tile(
+        4.0 * (S * K_pad + 8 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
+        8, B)
     B_pad = _round_up(B, B_tile)
     dtype = Xe.dtype
     Kf = float(K)
@@ -760,7 +782,10 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
     T0 = tk0.shape[1]
     T = _round_up(T0 + S, 8)
     K_pad = _round_up(K, 128)
-    B_tile = min(8, _round_up(B, 8))
+    B_tile = _pick_b_tile(
+        4.0 * (2 * S * K_pad + 3 * T * K_pad + 4 * T * 256) * 1.2,
+        8, B,
+        shared_bytes=4.0 * K_pad * (256 + 128 + 1))
     B_pad = _round_up(B, B_tile)
     dtype = Xe.dtype
     Kf = float(K)

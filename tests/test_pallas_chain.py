@@ -305,3 +305,49 @@ def test_fullcov_pallas_chain_matches_xla_scan():
             float(prior.k_0), float(prior.v_0), temp,
             alpha=alpha, K=K, lms=lms, use_argmax=use_argmax, interpret=True)
         npt.assert_array_equal(np.asarray(xla_ks), np.asarray(pal_ks))
+
+
+def test_chain_pad_patterns_dynamic_bound():
+    """Mid-sequence -1 embeds (the DP's over-long-span pseudo-embeddings,
+    unigram_acoustic_wordseg.py:339-342) and all-pad utterances must sample
+    identically through the dynamic-step-bound kernel path."""
+    global prior_g
+    rng = np.random.RandomState(3)
+    B, S, D, K = 4, 6, 3, 8
+    N = 32
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior_g = FixedVarPrior.create(
+        0.2 * np.ones(D, np.float32), np.zeros(D, np.float32),
+        np.ones(D, np.float32))
+    counts = jnp.asarray(rng.randint(0, 4, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(
+        rng.randn(B, K, D).astype(np.float32) * counts[..., None])
+    # Row 0: pads mid-sequence; row 1: valid only at the last slot;
+    # row 2: all pads; row 3: fully valid.
+    embeds = jnp.asarray([
+        [0, -1, 1, -1, 2, -1],
+        [-1, -1, -1, -1, -1, 3],
+        [-1, -1, -1, -1, -1, -1],
+        [4, 5, 6, 7, 8, 9],
+    ], dtype=jnp.int32)
+    gumb = jax.random.gumbel(jax.random.PRNGKey(11), (B, S, K),
+                             dtype=jnp.float32)
+    from segmentalist_tpu.models import components_fixedvar as cfv
+    sum_sq = jnp.zeros((B, K, D), jnp.float32)
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior_g, SuffStats(counts=c, sum_x=s, sum_sq=q)))(
+            counts, sum_x, sum_sq)
+    log_prior_vec = cfv.log_prior_batch(prior_g, X)
+
+    xla_ks = jax.vmap(
+        lambda c, s, q, p, e, g: _xla_chain(
+            X, SuffStats(counts=c, sum_x=s, sum_sq=q), p, e, g,
+            log_prior_vec, 1.0, K, 1.0, 1.0, False)
+    )(counts, sum_x, sum_sq, params, embeds, gumb)
+    pal_ks = fixedvar_chain(
+        embeds, X[jnp.maximum(embeds, 0)],
+        log_prior_vec[jnp.maximum(embeds, 0)], gumb,
+        counts, sum_x, prior_g.var, prior_g.var_0, prior_g.mu_0, 1.0,
+        alpha=1.0, K=K, lms=1.0, interpret=True)
+    npt.assert_array_equal(np.asarray(xla_ks), np.asarray(pal_ks))
+    assert (np.asarray(pal_ks)[2] == -1).all()
