@@ -1,0 +1,144 @@
+"""Fused candidate-marginal scoring kernel (fixed-variance backend).
+
+The unigram/bigram block step's hottest tensor is the [B, M, K] candidate
+logits (B utterances x M = N_max*W candidate spans x K components): the
+XLA path materialises it in HBM and walks it several times (predictive
+matmul output, mixture-weight add, counts>0 select, logsumexp) -- ~60 MB
+per pass at benchmark scale, ~40% of the sweep (PERFORMANCE.md stage
+attribution).  This kernel computes
+
+    log_margs[b, m] = logsumexp_k( w[b, k] + where(counts[b, k] > 0,
+                          log_post_pred[b, m, k], prior_c[b, m]) )
+
+with the [M, K] tile VMEM-resident per utterance: two MXU matmuls build the
+Mahalanobis form ((x^2) @ prec^T - 2 x @ (mu prec)^T + const), the
+mixture-weight/select/-inf-safe-logsumexp chain runs on the VPU, and only
+the [B, M] result ever reaches HBM.  (Reference math: fbgmm.py:256-286 +
+gaussian_components_fixedvar.py:242-253; the XLA twin is
+``components_fixedvar.log_post_pred_batch`` + ``ops.random.logsumexp``.)
+
+The reduction order over K differs from the XLA fallback's, so scores can
+differ by f32 rounding (~1e-6): the DP's Gumbel-max draws may flip
+near-ties vs the fallback.  Identical in distribution; same caveat class
+as the diag chain kernel's Stirling lgamma (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-jnp.inf)
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
+                       counts, K: int, interpret: bool = False):
+    """[B, M] collapsed candidate log marginals.
+
+    Parameters
+    ----------
+    Xc : [B, M, D] candidate embedding vectors (garbage rows fine -- the
+        caller masks invalid candidates afterwards).
+    prior_c : [B, M] prior log-density of each candidate (empty-component
+        branch).
+    mu_pred, prec_pred : [B, K, D] per-utterance (leave-one-out) predictive
+        parameters.
+    log_prod : [B, K] sum_d log prec_pred.
+    wvec : [B, K] mixture-weight term incl. denominator (log_weights).
+    counts : [B, K] leave-one-out member counts.
+    """
+    B, M, D = Xc.shape
+    dtype = Xc.dtype
+    D_pad = _round_up(max(D, 8), 8)
+    K_pad = _round_up(K, 128)
+    M_pad = _round_up(M, 8)
+    B_tile = min(16, _round_up(B, 8))
+    B_pad = _round_up(B, B_tile)
+
+    def bpad(a, fill=0):
+        return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    xq = bpad(jnp.pad(Xc.astype(dtype),
+                      ((0, 0), (0, M_pad - M), (0, D_pad - D))))
+    pc_in = bpad(jnp.pad(prior_c.astype(dtype),
+                         ((0, 0), (0, M_pad - M)))[:, :, None])
+    # Transposed parameter tables: features on sublanes, components on lanes.
+    mp = mu_pred * prec_pred
+    precT = bpad(jnp.pad(jnp.swapaxes(prec_pred, 1, 2).astype(dtype),
+                         ((0, 0), (0, D_pad - D), (0, K_pad - K))))
+    mpT = bpad(jnp.pad(jnp.swapaxes(mp, 1, 2).astype(dtype),
+                       ((0, 0), (0, D_pad - D), (0, K_pad - K))))
+    const = bpad(jnp.pad(jnp.sum(mu_pred * mp, -1).astype(dtype),
+                         ((0, 0), (0, K_pad - K)))[:, None, :])
+    w_in = bpad(jnp.pad(wvec.astype(dtype),
+                        ((0, 0), (0, K_pad - K)))[:, None, :])
+    cnt_in = bpad(jnp.pad(counts.astype(dtype),
+                          ((0, 0), (0, K_pad - K)))[:, None, :])
+    lp_in = bpad(jnp.pad(log_prod.astype(dtype),
+                         ((0, 0), (0, K_pad - K)))[:, None, :])
+
+    def kernel(xq_ref, pc_ref, precT_ref, mpT_ref, const_ref, w_ref,
+               cnt_ref, lp_ref, out_ref):
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
+        real = lane_k < K
+        for u in range(B_tile):
+            x = xq_ref[u]                      # [M_pad, D_pad]
+            maha = (
+                jax.lax.dot_general(
+                    x * x, precT_ref[u], (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                )
+                - 2.0 * jax.lax.dot_general(
+                    x, mpT_ref[u], (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                )
+                + const_ref[u]
+            )                                  # [M_pad, K_pad]
+            post = -0.5 * D * _LOG_2PI + 0.5 * lp_ref[u] - 0.5 * maha
+            logits = w_ref[u] + jnp.where(
+                cnt_ref[u] > 0.0, post, pc_ref[u]
+            )
+            logits = jnp.where(real, logits, NEG_INF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+            s = jnp.sum(jnp.exp(logits - m_safe), axis=1, keepdims=True)
+            out_ref[u] = jnp.where(
+                jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
+            )
+
+    shared = lambda i: (0, 0)  # noqa: E731
+    own3 = lambda i: (i, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(B_pad // B_tile,),
+        in_specs=[
+            pl.BlockSpec((B_tile, M_pad, D_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, M_pad, 1), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_tile, M_pad, 1), own3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
+        interpret=interpret,
+    )(xq, pc_in, precT, mpT, const, w_in, cnt_in, lp_in)
+    return out[:B, :M, 0]

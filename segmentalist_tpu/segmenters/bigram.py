@@ -814,15 +814,29 @@ class BigramAcousticWordseg:
                     ).reshape(B, M, K_max)
                     post = corrected_candidate_post(post, Xc, touched, K_max)
                 else:
-                    post = jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
+                    post = None
                 w_b = jax.vmap(lm_unigram_logw)(uni_lo)
                 prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
-                logits = w_b[:, None, :] + jnp.where(
-                    (lo_counts > 0)[:, None, :], post, prior_c[..., None]
-                )
-                log_margs = logsumexp(logits, axis=-1).reshape(
-                    B, N_max, W_dp
-                )
+                if post is None and pallas and hasattr(prior, "var"):
+                    # Fused scoring: the [B, M, K] logits tile never leaves
+                    # VMEM (see ops/pallas_score.py); the LM unigram weights
+                    # ride in as the mixture-weight vector.
+                    from ..ops.pallas_score import fixedvar_log_margs
+
+                    log_margs = fixedvar_log_margs(
+                        Xc, prior_c, params_b.mu_pred, params_b.prec_pred,
+                        params_b.log_prod_prec, w_b, lo_counts, K=K_max,
+                        interpret=jax.default_backend() != "tpu",
+                    ).reshape(B, N_max, W_dp)
+                else:
+                    if post is None:
+                        post = jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
+                    logits = w_b[:, None, :] + jnp.where(
+                        (lo_counts > 0)[:, None, :], post, prior_c[..., None]
+                    )
+                    log_margs = logsumexp(logits, axis=-1).reshape(
+                        B, N_max, W_dp
+                    )
                 scores = masked_candidate_scores(
                     log_margs, dp_slice(seg_ids_blk),
                     dp_slice(seg_durs_blk), tpt, wip,

@@ -1,0 +1,72 @@
+"""Fused scoring kernel vs the XLA scoring path (vectorised-vs-unvectorised
+consistency, SURVEY.md section 4 technique #2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from segmentalist_tpu.models import components_fixedvar as cfv
+from segmentalist_tpu.models.fbgmm import log_weights
+from segmentalist_tpu.ops.pallas_score import fixedvar_log_margs
+from segmentalist_tpu.ops.random import logsumexp
+from segmentalist_tpu.ops.stats import SuffStats
+from segmentalist_tpu.priors import FixedVarPrior
+
+
+def test_fixedvar_log_margs_matches_xla():
+    rng = np.random.RandomState(0)
+    B, M, D, K = 5, 9, 4, 11
+    prior = FixedVarPrior.create(0.1 * np.ones(D), np.zeros(D), np.ones(D))
+    counts = jnp.asarray(rng.randint(0, 3, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(rng.randn(B, K, D) * np.asarray(counts)[..., None])
+    sum_sq = jnp.zeros((B, K, D))
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cfv.log_prior_batch(prior, x))(Xc)
+
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(counts)
+
+    post = jax.vmap(cfv.log_post_pred_batch)(params, Xc)
+    logits = w[:, None, :] + jnp.where(
+        (counts > 0)[:, None, :], post, prior_c[..., None])
+    ref = logsumexp(logits, axis=-1)
+
+    got = fixedvar_log_margs(
+        Xc, prior_c, params.mu_pred, params.prec_pred, params.log_prod_prec,
+        w, counts, K=K, interpret=True)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
+                        atol=1e-10)
+
+
+def test_fixedvar_log_margs_all_empty_and_neginf():
+    """Empty components fall back to the prior; an all -inf row stays -inf."""
+    rng = np.random.RandomState(1)
+    B, M, D, K = 2, 4, 3, 6
+    prior = FixedVarPrior.create(0.5 * np.ones(D), np.zeros(D), np.ones(D))
+    counts = jnp.zeros((B, K), jnp.int32)  # everything empty
+    sum_x = jnp.zeros((B, K, D))
+    sum_sq = jnp.zeros((B, K, D))
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cfv.log_prior_batch(prior, x))(Xc)
+    prior_c = prior_c.at[1, 2].set(-jnp.inf)  # a masked candidate
+
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(counts)
+    got = fixedvar_log_margs(
+        Xc, prior_c, params.mu_pred, params.prec_pred, params.log_prod_prec,
+        w, counts, K=K, interpret=True)
+    # All-empty: log_marg = logsumexp_k(w_k) + prior = prior (weights sum
+    # to ~1 under the collapsed-Dirichlet denominator).
+    post = jax.vmap(cfv.log_post_pred_batch)(params, Xc)
+    logits = w[:, None, :] + jnp.where(
+        (counts > 0)[:, None, :], post, prior_c[..., None])
+    ref = logsumexp(logits, axis=-1)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+    assert np.isneginf(np.asarray(got)[1, 2])
