@@ -142,3 +142,108 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
         interpret=interpret,
     )(xq, pc_in, precT, mpT, const, w_in, cnt_in, lp_in)
     return out[:B, :M, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
+                   counts, K: int, interpret: bool = False):
+    """[B, M] collapsed candidate log marginals, diagonal-covariance backend.
+
+    The product-of-univariate-Student-t predictive
+    (``components_diag._log_prod_students_t``; reference
+    ``gaussian_components_diag.py:237-259, :347-360``) couples dimensions
+    through a per-dimension ``log1p``, so the XLA path's [B, M, K, D]
+    contraction is transcendental- and traffic-heavy.  Here the [M, K]
+    accumulator stays VMEM-resident and the D-loop runs as static lane/
+    sublane slices; the count-dependent gammaln constants are folded into a
+    [B, K] vector OUTSIDE the kernel (exact gammaln -- unlike the diag
+    *chain* kernel, no Stirling approximation is involved).
+
+    Parameters: as :func:`fixedvar_log_margs`, with the diag predictive
+    parameters (``mu`` / ``inv_var`` [B, K, D], ``log_prod_var`` / ``v``
+    [B, K]).
+    """
+    from jax.scipy.special import gammaln
+
+    B, M, D = Xc.shape
+    dtype = Xc.dtype
+    D_pad = _round_up(max(D, 8), 8)
+    K_pad = _round_up(K, 128)
+    M_pad = _round_up(M, 8)
+    B_tile = min(16, _round_up(B, 8))
+    B_pad = _round_up(B, B_tile)
+
+    def bpad(a, fill=0):
+        return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    def vecpad(a):
+        return bpad(jnp.pad(a.astype(dtype),
+                            ((0, 0), (0, K_pad - K)))[:, None, :])
+
+    xq = bpad(jnp.pad(Xc.astype(dtype),
+                      ((0, 0), (0, M_pad - M), (0, D_pad - D))))
+    pc_in = bpad(jnp.pad(prior_c.astype(dtype),
+                         ((0, 0), (0, M_pad - M)))[:, :, None])
+    muT = bpad(jnp.pad(jnp.swapaxes(mu, 1, 2).astype(dtype),
+                       ((0, 0), (0, D_pad - D), (0, K_pad - K))))
+    ivvT = bpad(jnp.pad(
+        jnp.swapaxes(inv_var / v[..., None], 1, 2).astype(dtype),
+        ((0, 0), (0, D_pad - D), (0, K_pad - K)),
+    ))
+    # Count-dependent constants, exact gammaln (outside the kernel).
+    const = vecpad(
+        D * (gammaln((v + 1.0) / 2.0) - gammaln(v / 2.0)
+             - 0.5 * jnp.log(v) - 0.5 * math.log(math.pi))
+        - 0.5 * log_prod_var
+    )
+    vh = vecpad((v + 1.0) / 2.0)
+    w_in = vecpad(wvec)
+    cnt_in = vecpad(counts)
+
+    def kernel(xq_ref, pc_ref, muT_ref, ivvT_ref, const_ref, vh_ref,
+               w_ref, cnt_ref, out_ref):
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
+        real = lane_k < K
+        for u in range(B_tile):
+            x = xq_ref[u]                          # [M_pad, D_pad]
+            acc = jnp.zeros((M_pad, K_pad), dtype)
+            for d in range(D):
+                xd = x[:, d:d + 1]                 # [M_pad, 1]
+                mud = muT_ref[u][d:d + 1, :]       # [1, K_pad]
+                ivvd = ivvT_ref[u][d:d + 1, :]
+                delta = xd - mud
+                acc = acc + jnp.log1p(delta * delta * ivvd)
+            post = const_ref[u] - vh_ref[u] * acc
+            logits = w_ref[u] + jnp.where(cnt_ref[u] > 0.0, post, pc_ref[u])
+            logits = jnp.where(real, logits, NEG_INF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+            s = jnp.sum(jnp.exp(logits - m_safe), axis=1, keepdims=True)
+            out_ref[u] = jnp.where(
+                jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
+            )
+
+    own3 = lambda i: (i, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(B_pad // B_tile,),
+        in_specs=[
+            pl.BlockSpec((B_tile, M_pad, D_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, M_pad, 1), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_tile, M_pad, 1), own3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
+        interpret=interpret,
+    )(xq, pc_in, muT, ivvT, const, vh, w_in, cnt_in)
+    return out[:B, :M, 0]

@@ -143,19 +143,24 @@ def leave_out_stats(global_stats: SuffStats, contrib: SuffStats) -> SuffStats:
 def flat_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
                  full_cov: bool, valid: Array) -> SuffStats:
     """Summed sufficient-statistic contribution of all (utterance, segment)
-    pairs in a block: one flat ``segment_sum`` over B*S items instead of
-    materialising per-utterance [B, K, ...] tensors."""
+    pairs in a block, as one-hot MXU matmuls: TPU scatter-adds serialize per
+    index (~35 us each at block scale, 6 per block), while the [items, K]
+    one-hot contraction is a trivial matmul.  HIGHEST precision: these sums
+    feed the global statistics whose leave-out subtractions drive
+    argmax-sensitive scores (see CLAUDE.md)."""
     ok = (embeds >= 0) & (ks >= 0) & valid[:, None]
     seg = jnp.where(ok, ks, K_max).reshape(-1)
     x = X[jnp.maximum(embeds, 0).reshape(-1)]
     x = jnp.where(ok.reshape(-1)[:, None], x, 0.0)
-    counts = jax.ops.segment_sum(
-        ok.astype(jnp.int32).reshape(-1), seg, num_segments=K_max + 1
-    )[:-1]
-    sum_x = jax.ops.segment_sum(x, seg, num_segments=K_max + 1)[:-1]
-    sum_sq = jax.ops.segment_sum(
-        item_sq(x, full_cov), seg, num_segments=K_max + 1
-    )[:-1]
+    oh = (seg[:, None] == jnp.arange(K_max, dtype=seg.dtype)[None, :]
+          ).astype(x.dtype)  # [B*S, K]; pad rows (seg == K_max) are all-zero
+    counts = jnp.sum(oh, axis=0).astype(jnp.int32)
+    sum_x = jnp.matmul(oh.T, x, precision=jax.lax.Precision.HIGHEST)
+    sq = item_sq(x, full_cov)
+    sum_sq = jnp.matmul(
+        oh.T, sq.reshape(sq.shape[0], -1),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape((K_max,) + sq.shape[1:])
     return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
 
 

@@ -692,8 +692,8 @@ class UnigramAcousticWordseg:
                 params_b = jax.vmap(
                     lambda s: cov.predictive_params(prior, s)
                 )(lo)
-                post = None if (pallas and cov_type == "fixed") else \
-                    jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
+                post = None if (pallas and cov_type in ("fixed", "diag")) \
+                    else jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
             w_b = jax.vmap(
                 lambda c: log_weights(c, alpha, K_max, lms,
                                       include_denominator=True, dtype=X.dtype)
@@ -701,13 +701,24 @@ class UnigramAcousticWordseg:
             if cov_type != "full" and post is None:
                 # Fused scoring: the [B, M, K] logits tile never leaves
                 # VMEM (see ops/pallas_score.py).
-                from ..ops.pallas_score import fixedvar_log_margs
+                from ..ops.pallas_score import (
+                    diag_log_margs,
+                    fixedvar_log_margs,
+                )
 
-                log_margs = fixedvar_log_margs(
-                    Xc, prior_c, params_b.mu_pred, params_b.prec_pred,
-                    params_b.log_prod_prec, w_b, lo_counts, K=K_max,
-                    interpret=jax.default_backend() != "tpu",
-                ).reshape(B, N_max, W_dp)
+                interp = jax.default_backend() != "tpu"
+                if cov_type == "fixed":
+                    log_margs = fixedvar_log_margs(
+                        Xc, prior_c, params_b.mu_pred, params_b.prec_pred,
+                        params_b.log_prod_prec, w_b, lo_counts, K=K_max,
+                        interpret=interp,
+                    ).reshape(B, N_max, W_dp)
+                else:
+                    log_margs = diag_log_margs(
+                        Xc, prior_c, params_b.mu, params_b.inv_var,
+                        params_b.log_prod_var, params_b.v, w_b, lo_counts,
+                        K=K_max, interpret=interp,
+                    ).reshape(B, N_max, W_dp)
             else:
                 logits = w_b[:, None, :] + jnp.where(
                     (lo_counts > 0)[:, None, :], post, prior_c[..., None]

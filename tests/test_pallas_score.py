@@ -70,3 +70,37 @@ def test_fixedvar_log_margs_all_empty_and_neginf():
     ref = logsumexp(logits, axis=-1)
     npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
     assert np.isneginf(np.asarray(got)[1, 2])
+
+
+def test_diag_log_margs_matches_xla():
+    from segmentalist_tpu.models import components_diag as cdg
+    from segmentalist_tpu.ops.pallas_score import diag_log_margs
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(2)
+    B, M, D, K = 4, 7, 3, 9
+    prior = NIW.create(np.zeros(D), 1.0, 4.0, 0.5 * np.ones(D))
+    counts = jnp.asarray(rng.randint(0, 3, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(rng.randn(B, K, D) * np.asarray(counts)[..., None])
+    sum_sq = jnp.asarray(
+        np.abs(rng.randn(B, K, D)) * np.asarray(counts)[..., None]
+        + np.asarray(sum_x) ** 2 / np.maximum(np.asarray(counts), 1)[..., None]
+    )
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cdg.log_prior_batch(prior, x))(Xc)
+
+    params = jax.vmap(lambda c, s, q: cdg.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(counts)
+
+    post = jax.vmap(cdg.log_post_pred_batch)(params, Xc)
+    logits = w[:, None, :] + jnp.where(
+        (counts > 0)[:, None, :], post, prior_c[..., None])
+    ref = logsumexp(logits, axis=-1)
+    got = diag_log_margs(
+        Xc, prior_c, params.mu, params.inv_var, params.log_prod_var,
+        params.v, w, counts, K=K, interpret=True)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9,
+                        atol=1e-9)
