@@ -25,13 +25,18 @@ import numpy as np
 from ..corpus import Utterances
 from ..models.kmeans import (
     KMeans,
+    KMeansState,
     kmeans_state_from_assignments,
     means_from_state,
     neg_sqrd_norms,
 )
 from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF
-from .common import gather_block_segments, pad_utterance_order
+from .common import (
+    flat_contrib,
+    gather_block_segments,
+    pad_utterance_order,
+)
 from .unigram import process_embeddings
 
 logger = logging.getLogger(__name__)
@@ -414,7 +419,24 @@ class SegmentalKMeansWordseg:
             val = val.at[new_flat].set(new_ks.reshape(-1), mode="drop")
             mask, val = reduce_fn((mask, val))
             assignments = jnp.where(mask > 0, val, state.assignments)
-            state = kmeans_state_from_assignments(X, assignments, K_max)
+            # Delta statistics update (additive, so it psums across shards
+            # exactly like the assignment mask): rebuilding from the full
+            # [N] assignment vector cost two segment-sums over the whole
+            # corpus per block and dominated the sweep.
+            old_ks = jnp.where(
+                old_embeds >= 0,
+                state.assignments[jnp.maximum(old_embeds, 0)], -1,
+            )
+            old_c = flat_contrib(X, old_embeds, old_ks, K_max, False, valid)
+            new_c = flat_contrib(X, new_embeds, new_ks, K_max, False, valid)
+            d_counts, d_sum_x = reduce_fn((
+                new_c.counts - old_c.counts, new_c.sum_x - old_c.sum_x,
+            ))
+            state = KMeansState(
+                assignments=assignments,
+                counts=state.counts + d_counts,
+                sum_x=state.sum_x + d_sum_x,
+            )
 
             idx_w = jnp.where(valid, idx, boundaries.shape[0])
             boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
