@@ -29,7 +29,7 @@ D = 13
 K = 1000
 W = 6
 B = 125
-SWEEPS = 5
+SWEEPS = 20
 
 
 def corpus():

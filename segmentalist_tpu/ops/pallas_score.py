@@ -118,7 +118,6 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
                 jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
             )
 
-    shared = lambda i: (0, 0)  # noqa: E731
     own3 = lambda i: (i, 0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,

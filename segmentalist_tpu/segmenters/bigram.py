@@ -565,37 +565,49 @@ class BigramAcousticWordseg:
         lam, a, b, K = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         dtype = self.acoustic_model.X.dtype
 
-        def counts_before(ev_keys, ev_valid, q_keys, q_valid, sentinel):
-            """count[t] = #{s : ev_valid[s], ev_keys[s] == q_keys[t], s < t}.
+        def counts_before_batched(ev_keys, ev_valid, q_keys, q_valid,
+                                  sentinels):
+            """count[g, t] = #{s : ev_valid[g, s], ev_keys[g, s] ==
+            q_keys[g, t], s < t} for G independent key spaces in ONE sort.
 
-            Fully parallel replacement for replay counting: sort (key, time,
-            is_event) so each query lands just before the same-time event,
-            then the count is the exclusive event-prefix-sum within the key
-            group.  (The reference replays the corpus sequentially,
-            bigram_acoustic_wordseg.py:287-305; ranks among equal keys in
-            the fixed replay order are the same numbers.)
+            Fully parallel replacement for replay counting: sort
+            (key, 2*time + is_event) so each query lands just before the
+            same-time event, then the count is the exclusive
+            event-prefix-sum within the key group.  (The reference replays
+            the corpus sequentially, bigram_acoustic_wordseg.py:287-305;
+            ranks among equal keys in the fixed replay order are the same
+            numbers.)  The G query groups ride one batched ``lax.sort``:
+            TPU sorts are pass-heavy, so 1 sort of [G, 2T] beats G sorts of
+            [2T] roughly G-fold.
             """
-            T = ev_keys.shape[0]
-            times = jnp.arange(T, dtype=jnp.int32)
-            ke = jnp.where(ev_valid, ev_keys, sentinel)
-            kq = jnp.where(q_valid, q_keys, sentinel + 1)
-            keys = jnp.concatenate([ke, kq])
-            tms = jnp.concatenate([times, times])
-            isev = jnp.concatenate([
-                jnp.ones((T,), jnp.int32), jnp.zeros((T,), jnp.int32)
-            ])
-            qpos = jnp.concatenate([jnp.full((T,), -1, jnp.int32), times])
-            sk, _, se, sq = jax.lax.sort((keys, tms, isev, qpos), num_keys=3)
-            csum_ex = jnp.cumsum(se) - se  # events strictly before, global
-            iota = jnp.arange(2 * T, dtype=jnp.int32)
+            G, T = ev_keys.shape
+            times = jnp.arange(T, dtype=jnp.int32)[None, :]
+            ke = jnp.where(ev_valid, ev_keys, sentinels[:, None])
+            kq = jnp.where(q_valid, q_keys, sentinels[:, None] + 1)
+            keys = jnp.concatenate([ke, kq], axis=1)  # [G, 2T]
+            # 2*time + is_event: a query sorts just BEFORE its own token's
+            # event at the same (key, time), so it never counts itself.
+            tt = jnp.concatenate(
+                [times * 2 + 1, times * 2], axis=1
+            ) * jnp.ones((G, 1), jnp.int32)
+            qpos = jnp.concatenate([
+                jnp.full((G, T), -1, jnp.int32),
+                jnp.broadcast_to(times, (G, T)),
+            ], axis=1)
+            sk, stt, sq = jax.lax.sort((keys, tt, qpos), dimension=1,
+                                       num_keys=2)
+            se = stt & 1
+            csum_ex = jnp.cumsum(se, axis=1) - se  # events strictly before
+            iota = jnp.arange(2 * T, dtype=jnp.int32)[None, :]
             first = jnp.concatenate(
-                [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+                [jnp.ones((G, 1), bool), sk[:, 1:] != sk[:, :-1]], axis=1
             )
-            start_idx = jax.lax.cummax(jnp.where(first, iota, 0))
-            base = csum_ex[start_idx]
+            start_idx = jax.lax.cummax(jnp.where(first, iota, 0), axis=1)
+            base = jnp.take_along_axis(csum_ex, start_idx, axis=1)
             cnt = csum_ex - base
-            out = jnp.zeros((T,), cnt.dtype).at[
-                jnp.where(sq >= 0, sq, T)
+            g_idx = jnp.arange(G, dtype=jnp.int32)[:, None]
+            out = jnp.zeros((G, T), cnt.dtype).at[
+                g_idx, jnp.where(sq >= 0, sq, T)
             ].set(cnt, mode="drop")
             return out
 
@@ -610,12 +622,16 @@ class BigramAcousticWordseg:
                         - valid.astype(jnp.int32))
             i_s = jnp.maximum(flat_i, 0)
             j_s = jnp.maximum(flat_j, 0)
-            rank_uni = counts_before(i_s, valid, i_s, valid, K)
-            uni_j_before = counts_before(i_s, valid, j_s, has_prev, K)
             pair = j_s * K + i_s
             pair_valid = valid & has_prev
-            rank_big = counts_before(pair, pair_valid, pair, pair_valid,
-                                     K * K)
+            ranks = counts_before_batched(
+                jnp.stack([i_s, i_s, pair]),
+                jnp.stack([valid, valid, pair_valid]),
+                jnp.stack([i_s, j_s, pair]),
+                jnp.stack([valid, has_prev, pair_valid]),
+                jnp.asarray([K, K, K * K], jnp.int32),
+            )
+            rank_uni, uni_j_before, rank_big = ranks[0], ranks[1], ranks[2]
             p_uni = (rank_uni.astype(dtype) + a / K) / (
                 n_before.astype(dtype) + a
             )

@@ -26,7 +26,6 @@ from ..corpus import Utterances
 from ..models.kmeans import (
     KMeans,
     KMeansState,
-    kmeans_state_from_assignments,
     means_from_state,
     neg_sqrd_norms,
 )
