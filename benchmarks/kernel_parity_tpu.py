@@ -1,0 +1,261 @@
+"""Real-hardware parity of every Pallas kernel against its XLA twin.
+
+The CI tests run the kernels in interpret mode (CPU), which executes the
+same math as jnp -- it cannot catch Mosaic lowering differences.  This
+script runs each kernel natively on the attached TPU against the XLA
+fallback on the same inputs and reports:
+
+  * chain kernels: fraction of identically-sampled assignment chains on
+    shared Gumbel noise (expected 1.0 for fixed-var/bigram; the diag and
+    full-NIW kernels score with an in-kernel Stirling lgamma accurate to
+    ~1e-7, so rare near-tie argmax flips are documented behaviour --
+    CLAUDE.md);
+  * scoring kernels / DP: max absolute deviation of the returned values.
+
+Run:  python benchmarks/kernel_parity_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+B, S, D, K, N_emb = 48, 10, 13, 256, 4096
+
+
+def _rand_fixedvar(rng):
+    from segmentalist_tpu.priors import FixedVarPrior
+
+    prior = FixedVarPrior.create(
+        0.1 * np.ones(D, np.float32), np.zeros(D, np.float32),
+        np.ones(D, np.float32))
+    X = jnp.asarray(rng.randn(N_emb, D).astype(np.float32))
+    counts = jnp.asarray(rng.randint(0, 6, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(
+        (rng.randn(B, K, D) * np.asarray(counts)[..., None]).astype(np.float32))
+    embeds = jnp.asarray(rng.randint(-1, N_emb, (B, S)), dtype=jnp.int32)
+    gumb = jax.random.gumbel(jax.random.PRNGKey(3), (B, S, K), jnp.float32)
+    return prior, X, counts, sum_x, embeds, gumb
+
+
+def check_fixedvar_chain():
+    from segmentalist_tpu.models import components_fixedvar as cfv
+    from segmentalist_tpu.models.fbgmm import log_weights
+    from segmentalist_tpu.ops.pallas_chain import fixedvar_chain
+    from segmentalist_tpu.ops.random import NEG_INF
+    from segmentalist_tpu.ops.stats import (
+        SuffStats, add_item, canonicalize_new_component)
+
+    rng = np.random.RandomState(0)
+    prior, X, counts, sum_x, embeds, gumb = _rand_fixedvar(rng)
+    sum_sq = jnp.zeros((B, K, D), jnp.float32)
+    log_prior_vec = cfv.log_prior_batch(prior, X)
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+
+    def xla_one(c, s, q, p, e, g):
+        def step(carry, inp):
+            st, pp = carry
+            e_i, g_i = inp
+            ok = e_i >= 0
+            x = X[jnp.maximum(e_i, 0)]
+            w = log_weights(st.counts, 1.0, K, 1.0, False, x.dtype)
+            post = cfv.log_post_pred(pp, x)
+            logits = w + jnp.where(st.counts > 0, post,
+                                   log_prior_vec[jnp.maximum(e_i, 0)])
+            k = jnp.argmax(jnp.where(jnp.isneginf(logits), NEG_INF,
+                                     logits + g_i))
+            k = canonicalize_new_component(st.counts, k)
+            st = add_item(st, x, k, weight=ok.astype(jnp.int32))
+            pp = cfv.update_predictive_row(prior, st, pp, k)
+            return (st, pp), jnp.where(ok, k.astype(jnp.int32), -1)
+
+        (_, _), ks = jax.lax.scan(
+            step, (SuffStats(counts=c, sum_x=s, sum_sq=q), p), (e, g))
+        return ks
+
+    xla_ks = jax.vmap(xla_one)(counts, sum_x, sum_sq, params, embeds, gumb)
+    pal_ks = fixedvar_chain(
+        embeds, X[jnp.maximum(embeds, 0)],
+        log_prior_vec[jnp.maximum(embeds, 0)], gumb, counts, sum_x,
+        prior.var, prior.var_0, prior.mu_0, 1.0, alpha=1.0, K=K, lms=1.0,
+        interpret=False)
+    agree = float(jnp.mean((xla_ks == pal_ks).all(axis=1)))
+    print("fixedvar_chain   identical chains: %.3f" % agree, flush=True)
+    return agree
+
+
+def check_score_kernels():
+    from segmentalist_tpu.models import components_diag as cdg
+    from segmentalist_tpu.models import components_fixedvar as cfv
+    from segmentalist_tpu.models.fbgmm import log_weights
+    from segmentalist_tpu.ops.pallas_score import (
+        diag_log_margs, fixedvar_log_margs)
+    from segmentalist_tpu.ops.random import logsumexp
+    from segmentalist_tpu.ops.stats import SuffStats
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(1)
+    prior, X, counts, sum_x, embeds, _ = _rand_fixedvar(rng)
+    M = 24
+    sum_sq = jnp.zeros((B, K, D), jnp.float32)
+    Xc = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
+    prior_c = jax.vmap(lambda x: cfv.log_prior_batch(prior, x))(Xc)
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0, True,
+                                       jnp.float32))(counts)
+    post = jax.vmap(cfv.log_post_pred_batch)(params, Xc)
+    ref = logsumexp(w[:, None, :] + jnp.where(
+        (counts > 0)[:, None, :], post, prior_c[..., None]), axis=-1)
+    got = fixedvar_log_margs(
+        Xc, prior_c, params.mu_pred, params.prec_pred,
+        params.log_prod_prec, w, counts, K=K, interpret=False)
+    dev = float(jnp.max(jnp.abs(got - ref)))
+    print("fixedvar_log_margs  max |dev|: %.2e" % dev, flush=True)
+
+    nprior = NIW.create(np.zeros(D, np.float32), 1.0, float(D) + 3.0,
+                        0.3 * np.ones(D, np.float32))
+    dsum_sq = jnp.asarray((np.abs(rng.randn(B, K, D))
+                           * np.asarray(counts)[..., None]
+                           + np.asarray(sum_x) ** 2
+                           / np.maximum(np.asarray(counts), 1)[..., None]
+                           ).astype(np.float32))
+    dparams = jax.vmap(lambda c, s, q: cdg.predictive_params(
+        nprior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(
+            counts, sum_x, dsum_sq)
+    dprior_c = jax.vmap(lambda x: cdg.log_prior_batch(nprior, x))(Xc)
+    dpost = jax.vmap(cdg.log_post_pred_batch)(dparams, Xc)
+    dref = logsumexp(w[:, None, :] + jnp.where(
+        (counts > 0)[:, None, :], dpost, dprior_c[..., None]), axis=-1)
+    dgot = diag_log_margs(
+        Xc, dprior_c, dparams.mu, dparams.inv_var, dparams.log_prod_var,
+        dparams.v, w, counts, K=K, interpret=False)
+    ddev = float(jnp.max(jnp.abs(dgot - dref)))
+    print("diag_log_margs      max |dev|: %.2e" % ddev, flush=True)
+    return dev, ddev
+
+
+def check_chain_lowering():
+    """Native-vs-interpret agreement for the diag and full-NIW chain
+    kernels (same code path, different lowering): isolates pure Mosaic
+    effects.  The in-kernel Stirling lgamma runs in BOTH modes, so any
+    disagreement here is fma/ordering tie-flips, expected ~0."""
+    from segmentalist_tpu.models import components_full as cf
+    from segmentalist_tpu.ops.pallas_chain import (
+        diag_chain, fullcov_chain_pallas)
+    from segmentalist_tpu.ops.stats import suff_stats_from_assignments
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.segmenters.fullcov import (
+        pallas_chain_inputs, touched_leave_out)
+    from segmentalist_tpu.segmenters.common import (
+        leave_out_stats, utterance_contrib)
+
+    rng = np.random.RandomState(4)
+    nprior = NIW.create(np.zeros(D, np.float32), 1.0, float(D) + 3.0,
+                        0.3 * np.ones(D, np.float32))
+    X = jnp.asarray(rng.randn(N_emb, D).astype(np.float32))
+    counts = jnp.asarray(rng.randint(0, 6, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(
+        (rng.randn(B, K, D) * np.asarray(counts)[..., None]
+         ).astype(np.float32))
+    sum_sq = jnp.asarray((np.abs(rng.randn(B, K, D))
+                          * np.asarray(counts)[..., None]
+                          + np.asarray(sum_x) ** 2
+                          / np.maximum(np.asarray(counts), 1)[..., None]
+                          ).astype(np.float32))
+    embeds = jnp.asarray(rng.randint(-1, N_emb, (B, S)), dtype=jnp.int32)
+    gumb = jax.random.gumbel(jax.random.PRNGKey(9), (B, S, K), jnp.float32)
+    from segmentalist_tpu.models import components_diag as cdg
+
+    log_prior_vec = cdg.log_prior_batch(nprior, X)
+    args = (embeds, X[jnp.maximum(embeds, 0)],
+            log_prior_vec[jnp.maximum(embeds, 0)], gumb, counts, sum_x,
+            sum_sq, nprior.m_0, float(nprior.k_0), float(nprior.v_0),
+            nprior.S_0, 1.0)
+    d_nat = diag_chain(*args, alpha=1.0, K=K, lms=1.0, interpret=False)
+    d_int = diag_chain(*args, alpha=1.0, K=K, lms=1.0, interpret=True)
+    d_agree = float(jnp.mean((d_nat == d_int).all(axis=1)))
+    print("diag_chain       native==interpret chains: %.3f" % d_agree,
+          flush=True)
+
+    fprior = NIW.create(np.zeros(D, np.float32), 1.0, float(D) + 3.0,
+                        0.3 * np.eye(D, dtype=np.float32))
+    Nf = 512
+    Xf = jnp.asarray(rng.randn(Nf, D).astype(np.float32))
+    assigns = jnp.asarray(rng.randint(-1, K // 8, Nf), dtype=jnp.int32)
+    stats = suff_stats_from_assignments(Xf, assigns, K, full_cov=True)
+    Bf, Sf = 16, 6
+    old_embeds = jnp.asarray(rng.randint(-1, Nf, (Bf, Sf)), dtype=jnp.int32)
+    old_ks = jnp.where(old_embeds >= 0,
+                       assigns[jnp.maximum(old_embeds, 0)], -1)
+    new_embeds = jnp.asarray(rng.randint(-1, Nf, (Bf, Sf)), dtype=jnp.int32)
+    gf = jax.random.gumbel(jax.random.PRNGKey(11), (Bf, Sf, K), jnp.float32)
+    lo = leave_out_stats(
+        stats, utterance_contrib(Xf, old_embeds, old_ks, K, full_cov=True))
+    params_g = cf.predictive_params(fprior, stats)
+    touched = touched_leave_out(fprior, stats, Xf, old_embeds, old_ks)
+    G_new = cf.log_post_pred_batch(
+        params_g, Xf[jnp.maximum(new_embeds, 0)].reshape(Bf * Sf, D)
+    ).reshape(Bf, Sf, K)
+    lpv = cf.log_prior_batch(fprior, Xf)
+    ins = pallas_chain_inputs(fprior, params_g, stats.counts, touched)
+    (scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld) = ins
+    fargs = (new_embeds, Xf[jnp.maximum(new_embeds, 0)],
+             lpv[jnp.maximum(new_embeds, 0)], gf, G_new, lo.counts,
+             scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld,
+             float(fprior.k_0), float(fprior.v_0), 1.0)
+    f_nat = fullcov_chain_pallas(*fargs, alpha=1.0, K=K, lms=1.0,
+                                 interpret=False)
+    f_int = fullcov_chain_pallas(*fargs, alpha=1.0, K=K, lms=1.0,
+                                 interpret=True)
+    f_agree = float(jnp.mean((f_nat == f_int).all(axis=1)))
+    print("fullcov_chain    native==interpret chains: %.3f" % f_agree,
+          flush=True)
+    return d_agree, f_agree
+
+
+def check_dp():
+    from segmentalist_tpu.ops import dp as dp_ops
+
+    rng = np.random.RandomState(2)
+    N, W = 20, 6
+    scores = jnp.asarray(rng.randn(B, N, W).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(2, N + 1, B), dtype=jnp.int32)
+    key = jax.random.PRNGKey(5)
+    lp_p, b_p = dp_ops.segment_dp(scores, lengths, key, 0.0, 1.0,
+                                  n_slices_min=0, n_slices_max=W,
+                                  mode="sample", use_pallas=True)
+    lp_x, b_x = dp_ops.segment_dp(scores, lengths, key, 0.0, 1.0,
+                                  n_slices_min=0, n_slices_max=W,
+                                  mode="sample", use_pallas=False)
+    same_b = float(jnp.mean((b_p == b_x).all(axis=1)))
+    dev = float(jnp.max(jnp.abs(lp_p - lp_x)))
+    print("segment_dp       identical boundaries: %.3f  max |dlogp|: %.2e"
+          % (same_b, dev), flush=True)
+    return same_b, dev
+
+
+def main():
+    agree = check_fixedvar_chain()
+    dev, ddev = check_score_kernels()
+    d_agree, f_agree = check_chain_lowering()
+    same_b, dp_dev = check_dp()
+    ok = (agree == 1.0 and same_b == 1.0 and dev < 1e-3 and ddev < 1e-3
+          and dp_dev < 1e-3 and d_agree > 0.95 and f_agree > 0.95)
+    print("PARITY %s" % ("OK" if ok else "DEVIATIONS -- inspect above"))
+
+
+if __name__ == "__main__":
+    main()

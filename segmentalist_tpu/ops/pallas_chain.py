@@ -194,7 +194,12 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
             cnt_at = jnp.sum(oh_draw * counts_f, axis=2, keepdims=True)
             empty = jnp.where(jnp.logical_and(counts_f <= 0.0, real), 1.0, 0.0)
             any_empty = jnp.max(empty, axis=2, keepdims=True) > 0.0
-            first_empty = jnp.argmax(empty, axis=2)[..., None]
+            # First-empty via a tie-free min over lane indices: Mosaic's
+            # native argmax breaks ties by LAST index (XLA: first), which
+            # silently birthed the last empty slot on real TPUs.
+            first_empty = jnp.min(
+                jnp.where(empty > 0.0, lane_k, K_pad), axis=2, keepdims=True
+            )
             k_new = jnp.where(
                 cnt_at > 0.0, k_draw,
                 jnp.where(any_empty, first_empty, K - 1),
@@ -420,7 +425,12 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
             cnt_at = jnp.sum(oh_draw * counts_f, axis=2, keepdims=True)
             empty = jnp.where(jnp.logical_and(counts_f <= 0.0, real), 1.0, 0.0)
             any_empty = jnp.max(empty, axis=2, keepdims=True) > 0.0
-            first_empty = jnp.argmax(empty, axis=2)[..., None]
+            # First-empty via a tie-free min over lane indices: Mosaic's
+            # native argmax breaks ties by LAST index (XLA: first), which
+            # silently birthed the last empty slot on real TPUs.
+            first_empty = jnp.min(
+                jnp.where(empty > 0.0, lane_k, K_pad), axis=2, keepdims=True
+            )
             k_new = jnp.where(
                 cnt_at > 0.0, k_draw,
                 jnp.where(any_empty, first_empty, K - 1),
@@ -645,7 +655,12 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
             cnt_at = jnp.sum(oh_draw * counts_f, axis=2, keepdims=True)
             empty = jnp.where(jnp.logical_and(counts_f <= 0.0, real), 1.0, 0.0)
             any_empty = jnp.max(empty, axis=2, keepdims=True) > 0.0
-            first_empty = jnp.argmax(empty, axis=2)[..., None]
+            # First-empty via a tie-free min over lane indices: Mosaic's
+            # native argmax breaks ties by LAST index (XLA: first), which
+            # silently birthed the last empty slot on real TPUs.
+            first_empty = jnp.min(
+                jnp.where(empty > 0.0, lane_k, K_pad), axis=2, keepdims=True
+            )
             k_new = jnp.where(
                 cnt_at > 0.0, k_draw,
                 jnp.where(any_empty, first_empty, K - 1),
@@ -899,7 +914,12 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
             cnt_at = jnp.sum(oh_draw * counts_f, axis=2, keepdims=True)
             empty = jnp.where(jnp.logical_and(counts_f <= 0.0, real), 1.0, 0.0)
             any_empty = jnp.max(empty, axis=2, keepdims=True) > 0.0
-            first_empty = jnp.argmax(empty, axis=2)[..., None]
+            # First-empty via a tie-free min over lane indices: Mosaic's
+            # native argmax breaks ties by LAST index (XLA: first), which
+            # silently birthed the last empty slot on real TPUs.
+            first_empty = jnp.min(
+                jnp.where(empty > 0.0, lane_k, K_pad), axis=2, keepdims=True
+            )
             k_new = jnp.where(
                 cnt_at > 0.0, k_draw,
                 jnp.where(any_empty, first_empty, K - 1),
