@@ -41,6 +41,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _score_tiling(M: int, B: int, n_k_temps: int, D_pad: int, K_pad: int):
+    """(M_tile, M_pad, B_tile, B_pad) such that the per-program footprint
+    (the [M_t, K_pad] working tiles, which Mosaic does not reuse across the
+    utterance loop's iterations, plus per-utterance inputs) stays within a
+    ~12 MB scoped-VMEM budget: long utterances make M = N_max * W large
+    enough that an untiled candidate axis OOMs the 16 MB limit."""
+    M_t = _round_up(M, 8) if M <= 256 else 128
+    M_pad = _round_up(_round_up(M, 8), M_t)
+    budget = 12 * 2 ** 20
+    tile_fixed = 4.0 * n_k_temps * M_t * K_pad * 2.2
+    per_utt = 4.0 * (2 * D_pad * K_pad + M_t * (D_pad + 2) + 4 * K_pad) * 2.2
+    bt = min(16, _round_up(B, 8))
+    while bt > 1 and tile_fixed + per_utt * bt > budget:
+        bt //= 2
+    return M_t, M_pad, max(bt, 1), _round_up(B, max(bt, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
 def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
                        counts, K: int, interpret: bool = False):
@@ -62,9 +79,7 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
     dtype = Xc.dtype
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
-    M_pad = _round_up(M, 8)
-    B_tile = min(16, _round_up(B, 8))
-    B_pad = _round_up(B, B_tile)
+    M_tile, M_pad, B_tile, B_pad = _score_tiling(M, B, 2, D_pad, K_pad)
 
     def bpad(a, fill=0):
         return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
@@ -94,7 +109,7 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
         real = lane_k < K
         for u in range(B_tile):
-            x = xq_ref[u]                      # [M_pad, D_pad]
+            x = xq_ref[u]                      # [M_tile, D_pad]
             maha = (
                 jax.lax.dot_general(
                     x * x, precT_ref[u], (((1,), (0,)), ((), ())),
@@ -105,7 +120,7 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
                     preferred_element_type=dtype,
                 )
                 + const_ref[u]
-            )                                  # [M_pad, K_pad]
+            )                                  # [M_tile, K_pad]
             post = -0.5 * D * _LOG_2PI + 0.5 * lp_ref[u] - 0.5 * maha
             logits = w_ref[u] + jnp.where(
                 cnt_ref[u] > 0.0, post, pc_ref[u]
@@ -118,24 +133,28 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
                 jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
             )
 
-    own3 = lambda i: (i, 0, 0)  # noqa: E731
+    # Grid: utterance tiles (slow axis) x candidate tiles (fast axis); the
+    # parameter blocks index only the utterance axis, so Mosaic keeps them
+    # resident across the candidate tiles of the same utterances.
+    bm = lambda i, j: (i, j, 0)  # noqa: E731
+    bu = lambda i, j: (i, 0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,
-        grid=(B_pad // B_tile,),
+        grid=(B_pad // B_tile, M_pad // M_tile),
         in_specs=[
-            pl.BlockSpec((B_tile, M_pad, D_pad), own3,
+            pl.BlockSpec((B_tile, M_tile, D_pad), bm,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, M_pad, 1), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+            pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), bu,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+            pl.BlockSpec((B_tile, D_pad, K_pad), bu,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B_tile, M_pad, 1), own3,
+        out_specs=pl.BlockSpec((B_tile, M_tile, 1), bm,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
         interpret=interpret,
@@ -168,9 +187,7 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
     dtype = Xc.dtype
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
-    M_pad = _round_up(M, 8)
-    B_tile = min(16, _round_up(B, 8))
-    B_pad = _round_up(B, B_tile)
+    M_tile, M_pad, B_tile, B_pad = _score_tiling(M, B, 3, D_pad, K_pad)
 
     def bpad(a, fill=0):
         return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
@@ -205,8 +222,8 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
         real = lane_k < K
         for u in range(B_tile):
-            x = xq_ref[u]                          # [M_pad, D_pad]
-            acc = jnp.zeros((M_pad, K_pad), dtype)
+            x = xq_ref[u]                          # [M_tile, D_pad]
+            acc = jnp.zeros((M_tile, K_pad), dtype)
             for d in range(D):
                 xd = x[:, d:d + 1]                 # [M_pad, 1]
                 mud = muT_ref[u][d:d + 1, :]       # [1, K_pad]
@@ -223,24 +240,25 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
                 jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
             )
 
-    own3 = lambda i: (i, 0, 0)  # noqa: E731
+    bm = lambda i, j: (i, j, 0)  # noqa: E731
+    bu = lambda i, j: (i, 0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,
-        grid=(B_pad // B_tile,),
+        grid=(B_pad // B_tile, M_pad // M_tile),
         in_specs=[
-            pl.BlockSpec((B_tile, M_pad, D_pad), own3,
+            pl.BlockSpec((B_tile, M_tile, D_pad), bm,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, M_pad, 1), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+            pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), bu,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+            pl.BlockSpec((B_tile, D_pad, K_pad), bu,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B_tile, M_pad, 1), own3,
+        out_specs=pl.BlockSpec((B_tile, M_tile, 1), bm,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
         interpret=interpret,

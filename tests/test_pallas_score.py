@@ -104,3 +104,29 @@ def test_diag_log_margs_matches_xla():
         params.v, w, counts, K=K, interpret=True)
     npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9,
                         atol=1e-9)
+
+
+def test_fixedvar_log_margs_m_tiled():
+    """M > 256 exercises the candidate-axis grid tiling (long utterances
+    previously OOM'ed scoped VMEM)."""
+    rng = np.random.RandomState(3)
+    B, M, D, K = 3, 300, 4, 7
+    prior = FixedVarPrior.create(0.1 * np.ones(D), np.zeros(D), np.ones(D))
+    counts = jnp.asarray(rng.randint(0, 3, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(rng.randn(B, K, D) * np.asarray(counts)[..., None])
+    sum_sq = jnp.zeros((B, K, D))
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cfv.log_prior_batch(prior, x))(Xc)
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(counts)
+    post = jax.vmap(cfv.log_post_pred_batch)(params, Xc)
+    ref = logsumexp(w[:, None, :] + jnp.where(
+        (counts > 0)[:, None, :], post, prior_c[..., None]), axis=-1)
+    got = fixedvar_log_margs(
+        Xc, prior_c, params.mu_pred, params.prec_pred, params.log_prod_prec,
+        w, counts, K=K, interpret=True)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
+                        atol=1e-10)
