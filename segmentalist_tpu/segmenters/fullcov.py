@@ -124,12 +124,31 @@ def touched_leave_out(prior, stats, X, old_embeds, old_ks) -> Touched:
     contrib_counts = jnp.sum(same, axis=-1).astype(stats.counts.dtype)
     contrib_sum_x = jnp.einsum("bjs,bsd->bjd", same_f, x_old,
                                precision=_HI)
-    contrib_sum_sq = jnp.einsum("bjs,bsd,bse->bjde", same_f, x_old, x_old,
-                                precision=_HI)
+    # Two-step form of einsum("bjs,bsd,bse->bjde"): the 3-operand einsum
+    # lowers poorly on TPU (~1 ms/block); outer-product + batched matmul is
+    # the same exact contraction.
+    D = X.shape[-1]
+    xx = (x_old[..., :, None] * x_old[..., None, :]).reshape(
+        x_old.shape[:2] + (D * D,)
+    )
+    contrib_sum_sq = jnp.einsum("bjs,bsf->bjf", same_f, xx,
+                                precision=_HI).reshape(
+        same_f.shape[:2] + (D, D))
+
+    # Row lookups of the [K, .] statistic tables as one-hot MXU matmuls:
+    # a [B*S]-indexed row gather costs ~1 ms/block on TPU.  Exact at
+    # HIGHEST precision (each output sums exactly one nonzero product).
+    oh = (ks_safe.reshape(-1)[:, None]
+          == jnp.arange(stats.counts.shape[0])[None, :]).astype(dtype)
+    g_sum_x = jnp.matmul(oh, stats.sum_x, precision=_HI).reshape(
+        B, S, D)
+    g_sum_sq = jnp.matmul(
+        oh, stats.sum_sq.reshape(-1, D * D), precision=_HI
+    ).reshape(B, S, D, D)
 
     lo_counts = stats.counts[ks_safe] - contrib_counts
-    lo_sum_x = stats.sum_x[ks_safe] - contrib_sum_x
-    lo_sum_sq = stats.sum_sq[ks_safe] - contrib_sum_sq
+    lo_sum_x = g_sum_x - contrib_sum_x
+    lo_sum_sq = g_sum_sq - contrib_sum_sq
 
     m_n, covar, v = _derive_covar(prior, lo_counts, lo_sum_x, lo_sum_sq)
     inv, logdet = _chol_inv_logdet(covar)
