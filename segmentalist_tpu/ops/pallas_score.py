@@ -264,3 +264,176 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
         interpret=interpret,
     )(xq, pc_in, muT, ivvT, const, vh, w_in, cnt_in)
     return out[:B, :M, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
+                      t_A2, t_A1, t_a0, t_ck, t_vinv, t_vh, t_oh, tmask,
+                      wvec, counts, K: int, interpret: bool = False):
+    """[B, M] collapsed candidate log marginals, full-covariance backend,
+    with the exact touched-column corrections applied in-kernel.
+
+    The XLA path materialises the [B, M, K] logits (global Student-t scores,
+    then the per-utterance leave-out corrections scattered over <= S columns,
+    then weights/select/logsumexp) -- ~6 ms/sweep of HBM traffic at benchmark
+    scale.  Here everything runs per (utterance-tile, candidate-tile) with
+    the [M_t, K] tile VMEM-resident:
+
+      maha_g[m, k] = xx[m] @ A2[k] - 2 x[m] @ A1[k] + a0[k]
+      post_g       = ck - vh * log1p(maha_g * vinv)          (Student-t)
+      maha_t[m, t] = the same vs the <= S touched-slot tables
+      post         = where(tmask, c_t scattered by the slot one-hot OH, post_g)
+      out[m]       = logsumexp_k(w + where(counts > 0, post, prior_c))
+
+    All Student-t constants (exact gammaln) are precomputed outside; the
+    xx = x (x) x outer-product lanes are built in-kernel from static lane
+    blocks; scatters ride one [M_t, S] x [S, K] one-hot MXU matmul.
+    (Reference math: gaussian_components.py:228-251; the XLA twin is
+    ``components_full.log_post_pred_batch`` +
+    ``segmenters.fullcov.corrected_candidate_post``.)
+
+    Parameters
+    ----------
+    g_* : global-parameter tables -- A2 [K, D*D] (inverse predictive scale),
+        A1 [K, D] (invC @ mu), a0/ck/vinv/vh [K] (constant, Student-t
+        constant, 1/v, (v+D)/2).
+    t_* : per-utterance touched-slot tables, [B, S, ...] / [B, S].
+    t_oh : [B, S, K] slot -> component one-hot rows (dead slots all-zero).
+    tmask : [B, K] union of the one-hot rows.
+    """
+    B, M, D = Xc.shape
+    DD = D * D
+    S = t_A1.shape[1]
+    dtype = Xc.dtype
+    D_pad = _round_up(max(D, 8), 8)
+    DD_pad = _round_up(DD, 8)
+    S_pad = _round_up(S, 8)
+    K_pad = _round_up(K, 128)
+    M_tile, M_pad, B_tile, B_pad = _score_tiling(M, B, 3, DD_pad, K_pad)
+
+    def bpad(a, fill=0):
+        return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    def kvec(a):
+        return jnp.pad(a.astype(dtype), (0, K_pad - K))[None, :]
+
+    xq = bpad(jnp.pad(Xc.astype(dtype),
+                      ((0, 0), (0, M_pad - M), (0, D_pad - D))))
+    pc_in = bpad(jnp.pad(prior_c.astype(dtype),
+                         ((0, 0), (0, M_pad - M)))[:, :, None])
+    # Global tables, transposed for the MXU (contraction dim on sublanes).
+    gA2T = jnp.pad(g_A2.astype(dtype).T, ((0, DD_pad - DD), (0, K_pad - K)))
+    gA1T = jnp.pad(g_A1.astype(dtype).T, ((0, D_pad - D), (0, K_pad - K)))
+    ga0 = kvec(g_a0)
+    gck = kvec(g_ck)
+    gvinv = kvec(g_vinv)
+    gvh = kvec(g_vh)
+    # Touched tables: contraction dim on sublanes, slots on lanes.
+    tA2T = bpad(jnp.pad(jnp.swapaxes(t_A2.astype(dtype), 1, 2),
+                        ((0, 0), (0, DD_pad - DD), (0, S_pad - S))))
+    tA1T = bpad(jnp.pad(jnp.swapaxes(t_A1.astype(dtype), 1, 2),
+                        ((0, 0), (0, D_pad - D), (0, S_pad - S))))
+
+    def svec(a):
+        return bpad(jnp.pad(a.astype(dtype),
+                            ((0, 0), (0, S_pad - S)))[:, None, :])
+
+    ta0 = svec(t_a0)
+    tck = svec(t_ck)
+    tvinv = svec(t_vinv)
+    tvh = svec(t_vh)
+    oh_in = bpad(jnp.pad(t_oh.astype(dtype),
+                         ((0, 0), (0, S_pad - S), (0, K_pad - K))))
+    tm_in = bpad(jnp.pad(tmask.astype(dtype),
+                         ((0, 0), (0, K_pad - K)))[:, None, :])
+    w_in = bpad(jnp.pad(wvec.astype(dtype),
+                        ((0, 0), (0, K_pad - K)))[:, None, :])
+    cnt_in = bpad(jnp.pad(counts.astype(dtype),
+                          ((0, 0), (0, K_pad - K)))[:, None, :])
+
+    def kernel(xq_ref, pc_ref, gA2_ref, gA1_ref, ga0_ref, gck_ref,
+               gvinv_ref, gvh_ref, tA2_ref, tA1_ref, ta0_ref, tck_ref,
+               tvinv_ref, tvh_ref, oh_ref, tm_ref, w_ref, cnt_ref, out_ref):
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
+        real = lane_k < K
+        for u in range(B_tile):
+            x = xq_ref[u]                              # [M_t, D_pad]
+            # xx[m, d*D+e] = x[m, d] x[m, e], static lane blocks.
+            xx = jnp.concatenate(
+                [x[:, d:d + 1] * x[:, :D] for d in range(D)], axis=1)
+            xx = jnp.pad(xx, ((0, 0), (0, DD_pad - DD)))
+
+            def maha_of(A2T, A1T, a0, prec):
+                return (
+                    jax.lax.dot_general(
+                        xx, A2T, (((1,), (0,)), ((), ())),
+                        preferred_element_type=dtype, precision=prec)
+                    - 2.0 * jax.lax.dot_general(
+                        x, A1T, (((1,), (0,)), ((), ())),
+                        preferred_element_type=dtype, precision=prec)
+                    + a0
+                )
+
+            # HIGHEST precision on both Mahalanobis dots: Mosaic's
+            # default dot is a single bf16 pass (XLA's default on the same
+            # contraction is effectively multi-pass; Mosaic supports only
+            # DEFAULT and HIGHEST), and the quadratic xx terms are
+            # cancellation-prone -- kernel-default precision measurably
+            # degraded the sampled boundaries (F1 0.752 -> 0.723 with both
+            # at default, -> 0.745 with only the touched corrections at
+            # HIGHEST; 0.751 with both).
+            maha_g = jnp.maximum(
+                maha_of(gA2_ref[:], gA1_ref[:], ga0_ref[:],
+                        jax.lax.Precision.HIGHEST), 0.0)
+            post_g = gck_ref[:] - gvh_ref[:] * jnp.log1p(maha_g * gvinv_ref[:])
+            maha_t = jnp.maximum(
+                maha_of(tA2_ref[u], tA1_ref[u], ta0_ref[u],
+                        jax.lax.Precision.HIGHEST), 0.0)
+            c_t = tck_ref[u] - tvh_ref[u] * jnp.log1p(maha_t * tvinv_ref[u])
+            corr = jax.lax.dot_general(
+                c_t, oh_ref[u], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype)         # [M_t, K_pad]
+            post = jnp.where(tm_ref[u] > 0.0, corr, post_g)
+            logits = w_ref[u] + jnp.where(cnt_ref[u] > 0.0, post, pc_ref[u])
+            logits = jnp.where(real, logits, NEG_INF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+            s = jnp.sum(jnp.exp(logits - m_safe), axis=1, keepdims=True)
+            out_ref[u] = jnp.where(
+                jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
+            )
+
+    bm = lambda i, j: (i, j, 0)  # noqa: E731
+    bu = lambda i, j: (i, 0, 0)  # noqa: E731
+    sh = lambda i, j: (0, 0)  # noqa: E731
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(B_pad // B_tile, M_pad // M_tile),
+        in_specs=[
+            pl.BlockSpec((B_tile, M_tile, D_pad), bm, memory_space=vm),
+            pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=vm),
+            pl.BlockSpec((DD_pad, K_pad), sh, memory_space=vm),
+            pl.BlockSpec((D_pad, K_pad), sh, memory_space=vm),
+            pl.BlockSpec((1, K_pad), sh, memory_space=vm),
+            pl.BlockSpec((1, K_pad), sh, memory_space=vm),
+            pl.BlockSpec((1, K_pad), sh, memory_space=vm),
+            pl.BlockSpec((1, K_pad), sh, memory_space=vm),
+            pl.BlockSpec((B_tile, DD_pad, S_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, D_pad, S_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, 1, S_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, 1, S_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, 1, S_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, 1, S_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, S_pad, K_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=vm),
+            pl.BlockSpec((B_tile, 1, K_pad), bu, memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
+        interpret=interpret,
+    )(xq, pc_in, gA2T, gA1T, ga0, gck, gvinv, gvh, tA2T, tA1T, ta0, tck,
+      tvinv, tvh, oh_in, tm_in, w_in, cnt_in)
+    return out[:B, :M, 0]

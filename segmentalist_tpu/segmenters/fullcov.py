@@ -189,6 +189,40 @@ def corrected_candidate_post(post, Xc, touched: Touched, K_max: int) -> Array:
     return post.at[b_idx, :, col].set(jnp.swapaxes(c, 1, 2), mode="drop")
 
 
+def fullcov_score_inputs(params_g, touched: Touched):
+    """Student-t tables for ``ops.pallas_score.fullcov_log_margs``: the
+    global-parameter tables (A2 = inverse predictive scale flattened,
+    A1 = invC @ mu, the scalar constants with EXACT gammaln) and the same
+    per-touched-slot, plus the slot one-hot scatter rows."""
+    from jax.scipy.special import gammaln
+
+    D = params_g.mu.shape[-1]
+
+    def tables(p):
+        A1 = jnp.einsum("...de,...e->...d", p.inv_covar, p.mu,
+                        precision=_HI)
+        a0 = jnp.sum(p.mu * A1, axis=-1)
+        ck = (
+            gammaln((p.v + D) / 2.0) - gammaln(p.v / 2.0)
+            - 0.5 * D * (jnp.log(p.v) + jnp.log(jnp.pi))
+            - 0.5 * p.logdet_covar
+        )
+        A2 = p.inv_covar.reshape(p.inv_covar.shape[:-2] + (D * D,))
+        return A2, A1, a0, ck, 1.0 / p.v, (p.v + D) / 2.0
+
+    g = tables(params_g)
+    t = tables(touched.params)
+    K = params_g.mu.shape[0]
+    oh = jnp.where(
+        (touched.tk >= 0)[..., None],
+        jax.nn.one_hot(jnp.maximum(touched.tk, 0), K,
+                       dtype=params_g.mu.dtype),
+        0.0,
+    )
+    tmask = jnp.sum(oh, axis=1)
+    return g, t, oh, tmask
+
+
 def pallas_chain_inputs(prior, stats_params, global_counts, touched: Touched):
     """P-form tables for :func:`ops.pallas_chain.fullcov_chain_pallas`:
     touched-slot (counts, m, invP, ldP, tk) plus the global component tables

@@ -633,6 +633,7 @@ class UnigramAcousticWordseg:
             corrected_candidate_post,
             counts_contrib,
             fullcov_chain,
+            fullcov_score_inputs,
             pallas_chain_inputs,
             touched_leave_out,
         )
@@ -679,10 +680,14 @@ class UnigramAcousticWordseg:
                 params_g = cov.predictive_params(prior, stats)
                 touched = touched_leave_out(prior, stats, X, old_embeds,
                                             old_ks)
-                post = cov.log_post_pred_batch(
-                    params_g, Xc.reshape(B * M, -1)
-                ).reshape(B, M, K_max)
-                post = corrected_candidate_post(post, Xc, touched, K_max)
+                if pallas:
+                    post = None  # fused scoring below
+                else:
+                    post = cov.log_post_pred_batch(
+                        params_g, Xc.reshape(B * M, -1)
+                    ).reshape(B, M, K_max)
+                    post = corrected_candidate_post(post, Xc, touched,
+                                                    K_max)
             else:
                 lo = leave_out_stats(
                     stats, utterance_contrib(X, old_embeds, old_ks, K_max,
@@ -698,16 +703,26 @@ class UnigramAcousticWordseg:
                 lambda c: log_weights(c, alpha, K_max, lms,
                                       include_denominator=True, dtype=X.dtype)
             )(lo_counts)
-            if cov_type != "full" and post is None:
+            if post is None:
                 # Fused scoring: the [B, M, K] logits tile never leaves
                 # VMEM (see ops/pallas_score.py).
                 from ..ops.pallas_score import (
                     diag_log_margs,
                     fixedvar_log_margs,
+                    fullcov_log_margs,
                 )
 
                 interp = jax.default_backend() != "tpu"
-                if cov_type == "fixed":
+                if cov_type == "full":
+                    g, t, oh_t, tmask_t = fullcov_score_inputs(
+                        params_g, touched
+                    )
+                    log_margs = fullcov_log_margs(
+                        Xc.reshape(B, N_max * W_dp, -1), prior_c, *g, *t,
+                        oh_t, tmask_t, w_b, lo_counts, K=K_max,
+                        interpret=interp,
+                    ).reshape(B, N_max, W_dp)
+                elif cov_type == "fixed":
                     log_margs = fixedvar_log_margs(
                         Xc, prior_c, params_b.mu_pred, params_b.prec_pred,
                         params_b.log_prod_prec, w_b, lo_counts, K=K_max,

@@ -130,3 +130,49 @@ def test_fixedvar_log_margs_m_tiled():
         w, counts, K=K, interpret=True)
     npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
                         atol=1e-10)
+
+
+def test_fullcov_log_margs_matches_xla():
+    from segmentalist_tpu.models import components_full as cf
+    from segmentalist_tpu.ops.pallas_score import fullcov_log_margs
+    from segmentalist_tpu.ops.stats import suff_stats_from_assignments
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.segmenters.fullcov import (
+        corrected_candidate_post, fullcov_score_inputs, touched_leave_out)
+
+    rng = np.random.RandomState(5)
+    D, K, N, B, M = 4, 6, 40, 3, 7
+    X = jnp.asarray(rng.randn(N, D))
+    prior = NIW.create(np.zeros(D), 1.0, D + 2.0,
+                       np.eye(D) + 0.1 * np.ones((D, D)))
+    assignments = jnp.asarray(rng.randint(-1, K - 2, N), dtype=jnp.int32)
+    stats = suff_stats_from_assignments(X, assignments, K, full_cov=True)
+    old_embeds = jnp.asarray(
+        [[0, 1, 2, -1], [3, 3, 4, 5], [-1, -1, -1, -1]], dtype=jnp.int32)
+    old_ks = jnp.where(old_embeds >= 0,
+                       assignments[jnp.maximum(old_embeds, 0)], -1)
+    cand_ids = jnp.asarray(rng.randint(0, N, (B, M)), dtype=jnp.int32)
+    Xc = X[cand_ids]
+    prior_c = jax.vmap(lambda x: cf.log_prior_batch(prior, x))(Xc)
+    params_g = cf.predictive_params(prior, stats)
+    touched = touched_leave_out(prior, stats, X, old_embeds, old_ks)
+    from segmentalist_tpu.segmenters.fullcov import counts_contrib
+
+    lo_counts = stats.counts[None] - counts_contrib(
+        old_ks, old_embeds >= 0, K)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(lo_counts)
+
+    post = cf.log_post_pred_batch(
+        params_g, Xc.reshape(B * M, D)).reshape(B, M, K)
+    post = corrected_candidate_post(post, Xc, touched, K)
+    logits = w[:, None, :] + jnp.where(
+        (lo_counts > 0)[:, None, :], post, prior_c[..., None])
+    ref = logsumexp(logits, axis=-1)
+
+    g, t, oh_t, tmask_t = fullcov_score_inputs(params_g, touched)
+    got = fullcov_log_margs(Xc, prior_c, *g, *t, oh_t, tmask_t, w,
+                            lo_counts, K=K, interpret=True)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-8,
+                        atol=1e-8)
