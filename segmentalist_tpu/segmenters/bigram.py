@@ -823,7 +823,7 @@ class BigramAcousticWordseg:
             if not assignments_only:
                 cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
                 Xc = X[jnp.maximum(cand_ids, 0)]
-                if full_cov:
+                if full_cov and not pallas:
                     M = N_max * W_dp
                     post = cov.log_post_pred_batch(
                         params_g, Xc.reshape(B * M, -1)
@@ -833,7 +833,22 @@ class BigramAcousticWordseg:
                     post = None
                 w_b = jax.vmap(lm_unigram_logw)(uni_lo)
                 prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
-                if post is None and pallas and hasattr(prior, "var"):
+                if post is None and pallas and full_cov:
+                    # Fused corrected scoring (see ops/pallas_score.py);
+                    # the LM unigram weights ride in as the mixture-weight
+                    # vector.
+                    from ..ops.pallas_score import fullcov_log_margs
+                    from .fullcov import fullcov_score_inputs
+
+                    g, t, oh_t, tmask_t = fullcov_score_inputs(
+                        params_g, touched
+                    )
+                    log_margs = fullcov_log_margs(
+                        Xc.reshape(B, N_max * W_dp, -1), prior_c, *g, *t,
+                        oh_t, tmask_t, w_b, lo_counts, K=K_max,
+                        interpret=jax.default_backend() != "tpu",
+                    ).reshape(B, N_max, W_dp)
+                elif post is None and pallas and hasattr(prior, "var"):
                     # Fused scoring: the [B, M, K] logits tile never leaves
                     # VMEM (see ops/pallas_score.py); the LM unigram weights
                     # ride in as the mixture-weight vector.

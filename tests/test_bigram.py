@@ -243,3 +243,33 @@ def test_log_prob_z_parallel_matches_python_replay():
                 n += 1
                 j_prev = cur
         npt.assert_allclose(got, total, rtol=1e-5), trial
+
+
+def test_bigram_full_covariance_smoke():
+    """Bigram driver with the full-NIW backend: exercises the fused
+    corrected-scoring kernel path (interpret on CPU) plus the XLA fullcov
+    chain with the bigram LM weight_fn."""
+    from segmentalist_tpu import NIW
+    from segmentalist_tpu.utils.synth import synthetic_corpus
+
+    em, vi, du, lm, _ = synthetic_corpus(
+        n_utterances=6, n_landmarks_max=6, D=4, K_true=3, n_slices_max=3,
+        seed=11)
+    prior = NIW.create(np.zeros(4), 0.5, 7.0,
+                       0.3 * np.eye(4) + 0.03 * np.ones((4, 4)))
+    np.random.seed(11)
+    seg = BigramAcousticWordseg(
+        am_K=6, am_param_prior=prior,
+        lm_params={"type": "smooth", "intrp_lambda": 0.1, "a": 1.0,
+                   "b": 1.0},
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lm, covariance_type="full", fb_type="unigram",
+        p_boundary_init=0.5, beta_sent_boundary=-1, n_slices_max=3,
+        batch_size=3, seed=11)
+    rec = seg.gibbs_sample(3, validate=True)
+    assert np.isfinite(rec["log_marg"]).all()
+    # LM tables still consistent with a fresh recount.
+    fresh = seg._all_transcript_counts()
+    np.testing.assert_array_equal(
+        np.asarray(seg.lm.state.unigram_counts),
+        np.asarray(fresh.unigram_counts))
