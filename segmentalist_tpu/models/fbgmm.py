@@ -317,9 +317,20 @@ class FBGMM:
         """Gibbs-assign the listed (unassigned) items sequentially in ONE
         device call -- a masked scan that scores each item against the
         running statistics, exactly ``gibbs_sample_inside_loop_i`` chained
-        (reference fbgmm.py:422-463) without O(len(ids)) host round-trips."""
+        (reference fbgmm.py:422-463) without O(len(ids)) host round-trips.
+
+        The id list is padded to the next power-of-two bucket with -1
+        sentinels (masked inside the scan), so the jit cache holds
+        O(log N) entries instead of one per distinct orphan count."""
         ids = np.asarray(ids, dtype=np.int64)
-        cache_key = ("reassign", self.K_max, len(ids))
+        n_real = len(ids)
+        bucket = 8
+        while bucket < n_real:
+            bucket *= 2
+        ids = np.concatenate(
+            [ids, np.full((bucket - n_real,), -1, np.int64)]
+        )
+        cache_key = ("reassign", self.K_max, bucket)
         if cache_key not in self._jit_cache:
             cov, prior, X = self.cov, self.prior, self.X
             alpha, K_max, lms = self.alpha, self.K_max, self.lms
@@ -371,7 +382,13 @@ class FBGMM:
                      anneal_end_temp_inv: float = 1.0, n_anneal_steps: int = -1,
                      mode: str = "sequential") -> dict:
         """Run ``n_iter`` collapsed-Gibbs sweeps; return the reference-format
-        record dict (reference ``gibbs_sample``, fbgmm.py:288-420)."""
+        record dict (reference ``gibbs_sample``, fbgmm.py:288-420).
+
+        Timing semantics: sweeps are dispatched in fused ``_SWEEP_CHUNK``-
+        sized device calls, so ``record["sample_time"]`` entries within a
+        chunk are the chunk's wall time divided evenly across its sweeps
+        (all 16 report identical values) -- the *sum* over any range of
+        sweeps is honest wall time, per-sweep jitter is not observable."""
         from ..utils.annealing import anneal_temperatures
 
         temps = anneal_temperatures(

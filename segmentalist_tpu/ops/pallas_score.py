@@ -391,9 +391,15 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
                 maha_of(tA2_ref[u], tA1_ref[u], ta0_ref[u],
                         jax.lax.Precision.HIGHEST), 0.0)
             c_t = tck_ref[u] - tvh_ref[u] * jnp.log1p(maha_t * tvinv_ref[u])
+            # HIGHEST here too: a one-hot contraction is then exact (one
+            # nonzero per output lane), whereas Mosaic's default bf16 pass
+            # would quantize the touched-column corrections (~0.4% rel)
+            # before the logsumexp; the [M_t, S_pad] x [S_pad, K_pad]
+            # matmul is cheap so exactness is free.
             corr = jax.lax.dot_general(
                 c_t, oh_ref[u], (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype)         # [M_t, K_pad]
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)  # [M_t, K_pad]
             post = jnp.where(tm_ref[u] > 0.0, corr, post_g)
             logits = w_ref[u] + jnp.where(cnt_ref[u] > 0.0, post, pc_ref[u])
             logits = jnp.where(real, logits, NEG_INF)

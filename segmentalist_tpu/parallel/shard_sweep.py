@@ -44,21 +44,24 @@ def shard_blocks(order: np.ndarray, n_shards: int, u_local: int,
                  batch_local: int) -> np.ndarray:
     """Per-shard block layout [n_blocks, n_shards, B/n] of LOCAL utterance
     indices (-1 pads), derived from a global permutation: each shard
-    processes its own utterances in global-permutation order."""
-    per_shard = [[] for _ in range(n_shards)]
-    for u in order:
-        if int(u) < 0:
-            continue  # -1 pads from pad_utterance_order
-        per_shard[int(u) // u_local].append(int(u) % u_local)
-    n_blocks = max(
-        -(-len(lst) // batch_local) for lst in per_shard
-    ) if per_shard else 1
+    processes its own utterances in global-permutation order.
+
+    Vectorised (this runs host-side EVERY sweep): a stable sort by shard id
+    groups each shard's utterances in permutation order, and one scatter
+    places them into the [n_blocks, n_shards, batch_local] grid."""
+    order = np.asarray(order, dtype=np.int64).reshape(-1)
+    order = order[order >= 0]  # -1 pads from pad_utterance_order
+    shard = order // u_local
+    local = order % u_local
+    sort = np.argsort(shard, kind="stable")  # permutation order within shard
+    shard, local = shard[sort], local[sort]
+    # rank[i]: position of element i within its shard's list.
+    first = np.r_[True, shard[1:] != shard[:-1]]
+    start = np.maximum.accumulate(np.where(first, np.arange(len(shard)), 0))
+    rank = np.arange(len(shard)) - start
+    n_blocks = max(int(rank.max(initial=-1)) // batch_local + 1, 1)
     out = np.full((n_blocks, n_shards, batch_local), -1, dtype=np.int64)
-    for s, lst in enumerate(per_shard):
-        arr = np.asarray(lst, dtype=np.int64)
-        for b in range(n_blocks):
-            chunk = arr[b * batch_local:(b + 1) * batch_local]
-            out[b, s, : len(chunk)] = chunk
+    out[rank // batch_local, shard, rank % batch_local] = local
     return out
 
 

@@ -234,6 +234,47 @@ def place_blocks(blocks, mesh, axis_name: str = "data"):
                           NamedSharding(mesh, P(None, axis_name)))
 
 
+def seed_assignments_to_vector(utterances, ids_to_utterance_labels,
+                               seed_assignments_dict, assignments,
+                               am_K):
+    """Map per-utterance seed assignment labels onto the global embedding-row
+    assignment vector (host-side init protocol; semantics must match the
+    reference exactly: ``unigram_acoustic_wordseg.py:176-204``, duplicated at
+    ``bigram_acoustic_wordseg.py``'s init).
+
+    Integer seed labels keep their value; other labels are numbered by first
+    appearance.  Mutates ``assignments`` in place and returns
+    ``(seed_to_cluster, am_K)`` with ``am_K`` defaulted/validated against the
+    largest cluster id as the reference does.
+    """
+    import numpy as np
+
+    seed_to_cluster = {}
+    i_cluster = 0
+    for i_utt, utt in enumerate(ids_to_utterance_labels):
+        utt_init_embeds = np.array(
+            utterances.get_segmented_embeds_i(i_utt), dtype=int
+        )
+        utt_init_assignments = np.array(seed_assignments_dict[utt][:])
+        utt_init_assignments = utt_init_assignments[utt_init_embeds != -1]
+        utt_init_embeds = utt_init_embeds[utt_init_embeds != -1]
+        for s in utt_init_assignments:
+            if s not in seed_to_cluster:
+                if isinstance(s, (int, np.integer)):
+                    seed_to_cluster[s] = int(s)
+                else:
+                    seed_to_cluster[s] = i_cluster
+                    i_cluster += 1
+        assignments[utt_init_embeds] = [
+            seed_to_cluster[s] for s in utt_init_assignments
+        ]
+    if am_K is None:
+        am_K = max(seed_to_cluster.values()) + 1
+    else:
+        assert am_K >= max(seed_to_cluster.values()) + 1
+    return seed_to_cluster, am_K
+
+
 def pad_utterance_order(order, batch_size: int):
     """Pad a [U] permutation to a multiple of ``batch_size`` with -1.
 
