@@ -276,6 +276,139 @@ def check_chain_lowering():
     return d_agree, f_agree
 
 
+def check_stirling_twins():
+    """Native kernels vs the production XLA twins that now share the same
+    Stirling-lgamma composition (round-3 change): diag / bigram-diag /
+    full-NIW / bigram full-NIW chains must sample IDENTICAL chains on
+    hardware -- this is the check that retires the CLAUDE.md near-tie
+    tolerance caveat."""
+    from segmentalist_tpu.models import components_diag as cdg
+    from segmentalist_tpu.models import components_full as cf
+    from segmentalist_tpu.models.bigram_lm import transcript_pairs_batch
+    from segmentalist_tpu.ops.pallas_chain import (
+        bigram_diag_chain, bigram_diag_chain_xla, diag_chain,
+        diag_chain_xla, fullcov_chain_pallas)
+    from segmentalist_tpu.ops.stats import suff_stats_from_assignments
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.segmenters.common import (
+        leave_out_stats, utterance_contrib)
+    from segmentalist_tpu.segmenters.fullcov import (
+        fullcov_chain, pallas_chain_inputs, touched_leave_out)
+
+    rng = np.random.RandomState(8)
+    nprior = NIW.create(np.zeros(D, np.float32), 1.0, float(D) + 3.0,
+                        0.3 * np.ones(D, np.float32))
+    X = jnp.asarray(rng.randn(N_emb, D).astype(np.float32))
+    counts = jnp.asarray(rng.randint(0, 6, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(
+        (rng.randn(B, K, D) * np.asarray(counts)[..., None]
+         ).astype(np.float32))
+    sum_sq = jnp.asarray((np.abs(rng.randn(B, K, D))
+                          * np.asarray(counts)[..., None]
+                          + np.asarray(sum_x) ** 2
+                          / np.maximum(np.asarray(counts), 1)[..., None]
+                          ).astype(np.float32))
+    embeds = jnp.asarray(rng.randint(-1, N_emb, (B, S)), dtype=jnp.int32)
+    gumb = jax.random.gumbel(jax.random.PRNGKey(13), (B, S, K), jnp.float32)
+    lpv = cdg.log_prior_batch(nprior, X)
+    dargs = (embeds, X[jnp.maximum(embeds, 0)],
+             lpv[jnp.maximum(embeds, 0)], gumb, counts, sum_x, sum_sq,
+             nprior.m_0, float(nprior.k_0), float(nprior.v_0), nprior.S_0,
+             1.0)
+    d_nat = diag_chain(*dargs, alpha=1.0, K=K, lms=1.0, interpret=False)
+    d_xla = diag_chain_xla(*dargs, alpha=1.0, K=K, lms=1.0)
+    d_tw = float(jnp.mean((d_nat == d_xla).all(axis=1)))
+    print("diag_chain       kernel==XLA-twin chains: %.3f" % d_tw,
+          flush=True)
+
+    uni_lo = jnp.asarray(rng.randint(0, 9, (B, K)), dtype=jnp.int32)
+    big_table = jnp.asarray(rng.randint(0, 5, (K, K)), dtype=jnp.int32)
+    corr_j = jnp.asarray(rng.randint(-1, K, (B, S)), dtype=jnp.int32)
+    corr_i = jnp.asarray(rng.randint(-1, K, (B, S)), dtype=jnp.int32)
+    bargs = dargs + (uni_lo, big_table, corr_j, corr_i)
+    bkw = dict(alpha_a=1.0, intrp_lambda=0.2, b_smooth=1.5, K=K, lms=1.0)
+    bd_nat = bigram_diag_chain(*bargs, interpret=False, **bkw)
+    bd_xla = bigram_diag_chain_xla(*bargs, **bkw)
+    bd_tw = float(jnp.mean((bd_nat == bd_xla).all(axis=1)))
+    print("bigram_diag      kernel==XLA-twin chains: %.3f" % bd_tw,
+          flush=True)
+
+    fprior = NIW.create(np.zeros(D, np.float32), 1.0, float(D) + 3.0,
+                        0.3 * np.eye(D, dtype=np.float32))
+    Nf = 512
+    Xf = jnp.asarray(rng.randn(Nf, D).astype(np.float32))
+    assigns = jnp.asarray(rng.randint(-1, K // 8, Nf), dtype=jnp.int32)
+    stats = suff_stats_from_assignments(Xf, assigns, K, full_cov=True)
+    Bf, Sf = 16, 6
+    old_embeds = jnp.asarray(rng.randint(-1, Nf, (Bf, Sf)), dtype=jnp.int32)
+    old_ks = jnp.where(old_embeds >= 0,
+                       assigns[jnp.maximum(old_embeds, 0)], -1)
+    new_embeds = jnp.asarray(rng.randint(-1, Nf, (Bf, Sf)), dtype=jnp.int32)
+    gf = jax.random.gumbel(jax.random.PRNGKey(15), (Bf, Sf, K), jnp.float32)
+    lo = leave_out_stats(
+        stats, utterance_contrib(Xf, old_embeds, old_ks, K, full_cov=True))
+    params_g = cf.predictive_params(fprior, stats)
+    touched = touched_leave_out(fprior, stats, Xf, old_embeds, old_ks)
+    G_new = cf.log_post_pred_batch(
+        params_g, Xf[jnp.maximum(new_embeds, 0)].reshape(Bf * Sf, D),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(Bf, Sf, K)
+    lpvf = cf.log_prior_batch(fprior, Xf)
+    (scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld) = pallas_chain_inputs(
+        fprior, params_g, stats.counts, touched)
+    fargs = (new_embeds, Xf[jnp.maximum(new_embeds, 0)],
+             lpvf[jnp.maximum(new_embeds, 0)], gf, G_new, lo.counts,
+             scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld,
+             float(fprior.k_0), float(fprior.v_0), 1.0)
+    f_nat = fullcov_chain_pallas(*fargs, alpha=1.0, K=K, lms=1.0,
+                                 interpret=False)
+    f_xla = fullcov_chain(
+        fprior, Xf, params_g, stats.counts, lo.counts, touched, new_embeds,
+        G_new, gf, lpvf, 1.0, K, 1.0, 1.0, use_argmax=False)
+    f_tw = float(jnp.mean((f_nat == f_xla).all(axis=1)))
+    print("fullcov_chain    kernel==XLA-twin chains: %.3f" % f_tw,
+          flush=True)
+
+    # Bigram full-NIW mode.
+    pj, pi = transcript_pairs_batch(old_ks)
+    uni_f_lo = jnp.asarray(rng.randint(1, 9, (Bf, K)), dtype=jnp.int32)
+    big_f = jnp.asarray(rng.randint(0, 5, (K, K)), dtype=jnp.int32)
+    lam, a_s, b_s = 0.2, 1.0, 1.5
+    dtype = Xf.dtype
+    uni_ff = uni_f_lo.astype(dtype)
+    uni_w = 1.0 * (jnp.log(uni_ff + a_s / K)
+                   - jnp.log(jnp.sum(uni_ff, -1, keepdims=True) + a_s))
+    uni_prob = (uni_ff + a_s / K) / (
+        jnp.sum(uni_ff, -1, keepdims=True) + a_s)
+    onehot_pi = (jax.nn.one_hot(jnp.maximum(pi, 0), K, dtype=dtype)
+                 * (pi >= 0).astype(dtype)[..., None])
+
+    def weight_fn(counts_w, j_prev, aux_b):  # noqa: ARG001
+        uni_w_b, uni_prob_b, uni_lo_b, cjb, ohb = aux_b
+        j_s = jnp.maximum(j_prev, 0)
+        row = big_f[j_s].astype(dtype)
+        sel = (cjb == j_s).astype(dtype)
+        row = row - sel @ ohb
+        uni_j = uni_lo_b[j_s].astype(dtype)
+        p_cond = lam * uni_prob_b + (1.0 - lam) * (row + b_s / K) / (
+            uni_j + b_s)
+        return jnp.where(j_prev >= 0, 1.0 * jnp.log(p_cond), uni_w_b)
+
+    aux = (uni_w, uni_prob, uni_f_lo, pj, onehot_pi)
+    bf_nat = fullcov_chain_pallas(
+        *fargs, alpha=0.0, K=K, lms=1.0, interpret=False,
+        uni_lo=uni_f_lo, big_table=big_f, corr_j=pj, corr_i=pi,
+        lm_params=(a_s, lam, b_s))
+    bf_xla = fullcov_chain(
+        fprior, Xf, params_g, stats.counts, lo.counts, touched, new_embeds,
+        G_new, gf, lpvf, 0.0, K, 1.0, 1.0, use_argmax=False,
+        weight_fn=weight_fn, aux_args=aux)
+    bf_tw = float(jnp.mean((bf_nat == bf_xla).all(axis=1)))
+    print("bigram_fullcov   kernel==XLA-twin chains: %.3f" % bf_tw,
+          flush=True)
+    return d_tw, bd_tw, f_tw, bf_tw
+
+
 def check_dp():
     from segmentalist_tpu.ops import dp as dp_ops
 
@@ -302,10 +435,12 @@ def main():
     dev, ddev = check_score_kernels()
     fdev = check_fullcov_score()
     d_agree, f_agree = check_chain_lowering()
+    d_tw, bd_tw, f_tw, bf_tw = check_stirling_twins()
     same_b, dp_dev = check_dp()
     ok = (agree == 1.0 and same_b == 1.0 and dev < 1e-3 and ddev < 1e-3
           and fdev < 0.5 and dp_dev < 1e-3 and d_agree > 0.95
-          and f_agree > 0.95)
+          and f_agree > 0.95
+          and d_tw == 1.0 and bd_tw == 1.0 and f_tw == 1.0 and bf_tw == 1.0)
     print("PARITY %s" % ("OK" if ok else "DEVIATIONS -- inspect above"))
 
 

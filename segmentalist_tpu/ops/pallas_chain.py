@@ -740,16 +740,440 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     return ks[:B, :, 0]
 
 
+def _diag_chain_xla_core(m_0, k0: float, v0: float, S_0, temp, K: int,
+                         D: int, dtype, weight_fn, use_argmax: bool):
+    """Shared scan body of the diag XLA chain twins: per-utterance carried
+    tables (mu, var, log-prod-var, Stirling gammaln ratio) maintained with
+    the SAME arithmetic composition as the Pallas ``diag_chain`` kernel, so
+    both paths sample bit-identical chains by construction (no near-tie
+    carve-out; see CLAUDE.md invariants).  ``weight_fn(counts_f, j_prev) ->
+    [K]`` supplies the mixture-weight term and j_prev threading."""
+    m0 = jnp.asarray(m_0, dtype)
+    snp0 = jnp.asarray(S_0, dtype) + k0 * m0 * m0
+
+    def derive(cnt, sx, ssq):
+        k_n = k0 + cnt
+        v_n = v0 + cnt
+        m_n = (k0 * m0 + sx) / k_n
+        var = (k_n + 1.0) / (k_n * v_n) * (snp0 + ssq - k_n * m_n * m_n)
+        return m_n, var, v_n
+
+    def glr(v_n):
+        return _lgamma_stirling((v_n + 1.0) / 2.0) - _lgamma_stirling(
+            v_n / 2.0
+        )
+
+    def one_chain(embeds_b, Xe_b, lpr_b, gumb_b, counts_b, sumx_b, sumsq_b):
+        counts_f = counts_b.astype(dtype)
+        mu0, var0, _ = derive(counts_f[:, None], sumx_b, sumsq_b)
+        lpv0 = jnp.sum(jnp.log(var0), axis=-1)
+        gr0 = glr(v0 + counts_f)
+
+        def step(carry, inp):
+            counts_f, sumx, sumsq, mu, var, lpv, gr, j_prev = carry
+            e, x, lp, g = inp
+            ok = e >= 0
+            v_n = v0 + counts_f
+            delta = x[None, :] - mu
+            t1 = jnp.sum(
+                jnp.log1p(delta * delta / (var * v_n[:, None])), axis=-1
+            )
+            post = (
+                D * (gr - 0.5 * jnp.log(v_n) - 0.5 * math.log(math.pi))
+                - 0.5 * lpv
+                - (v_n + 1.0) / 2.0 * t1
+            )
+            w = weight_fn(counts_f, j_prev)
+            logits = w + jnp.where(counts_f > 0.0, post, lp)
+            if use_argmax:
+                k = jnp.argmax(logits)
+            else:
+                k = jnp.argmax(jnp.where(
+                    jnp.isneginf(logits), NEG_INF, logits / temp + g
+                ))
+            # canonicalize_new_component (fbgmm.py:391-393).
+            empty = counts_f <= 0.0
+            k = jnp.where(
+                counts_f[k] > 0.0, k,
+                jnp.where(jnp.any(empty), jnp.argmax(empty), K - 1),
+            )
+            okf = ok.astype(dtype)
+            counts_f = counts_f.at[k].add(okf)
+            sumx = sumx.at[k].add(okf * x)
+            sumsq = sumsq.at[k].add(okf * x * x)
+            mu_row, var_row, _ = derive(counts_f[k], sumx[k], sumsq[k])
+            # Masked write (kernel: oh * (new - old)); pads keep old rows.
+            mu = mu.at[k].set(jnp.where(ok, mu_row, mu[k]))
+            var = var.at[k].set(jnp.where(ok, var_row, var[k]))
+            lpv = lpv.at[k].set(jnp.where(
+                ok, jnp.sum(jnp.log(var_row), axis=-1), lpv[k]))
+            gr = gr.at[k].set(jnp.where(ok, glr(v0 + counts_f[k]), gr[k]))
+            j_prev = jnp.where(ok, k.astype(jnp.int32), j_prev)
+            carry = (counts_f, sumx, sumsq, mu, var, lpv, gr, j_prev)
+            return carry, jnp.where(ok, k.astype(jnp.int32), -1)
+
+        init = (counts_f, sumx_b, sumsq_b, mu0, var0, lpv0, gr0,
+                jnp.int32(-1))
+        _, ks = jax.lax.scan(
+            step, init, (embeds_b, Xe_b, lpr_b, gumb_b))
+        return ks
+
+    return one_chain
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_0", "v_0", "alpha", "K", "lms", "use_argmax"),
+)
+def diag_chain_xla(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
+                   m_0, k_0, v_0, S_0, temp,
+                   alpha: float, K: int, lms: float = 1.0,
+                   use_argmax: bool = False):
+    """XLA twin of :func:`diag_chain` (same signature minus ``interpret``):
+    the production fallback under GSPMD meshes.  Uses the kernel's Stirling
+    lgamma and arithmetic groupings so the sampled chains are bit-identical
+    to the Pallas kernel's (tests/test_pallas_chain.py asserts exact
+    equality on shared noise)."""
+    B, S, D = Xe.shape
+    dtype = Xe.dtype
+    Kf = float(K)
+    lms_eff = float(lms)
+
+    def weight_fn(counts_f, j_prev):  # noqa: ARG001
+        return lms_eff * jnp.log(alpha / Kf + counts_f)
+
+    one_chain = _diag_chain_xla_core(
+        m_0, float(k_0), float(v_0), S_0, temp, K, D, dtype, weight_fn,
+        use_argmax)
+    return jax.vmap(one_chain)(
+        embeds, Xe, log_prior_e.astype(dtype), gumbel.astype(dtype),
+        counts, sum_x.astype(dtype), sum_sq.astype(dtype))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_0", "v_0", "alpha_a", "intrp_lambda", "b_smooth",
+                     "K", "lms"),
+)
+def bigram_diag_chain_xla(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
+                          sum_sq, m_0, k_0, v_0, S_0, temp,
+                          uni_lo, big_table, corr_j, corr_i,
+                          alpha_a: float, intrp_lambda: float,
+                          b_smooth: float, K: int, lms: float = 1.0):
+    """XLA twin of :func:`bigram_diag_chain` (same signature minus
+    ``interpret``): Stirling-lgamma scoring + the bigram-LM weight algebra
+    of the kernel, for bit-identical chains under GSPMD meshes."""
+    B, S, D = Xe.shape
+    dtype = Xe.dtype
+    Kf = float(K)
+    lam = float(intrp_lambda)
+    a_s = float(alpha_a)
+    b_s = float(b_smooth)
+    lms_f = float(lms)
+
+    def one_chain(embeds_b, Xe_b, lpr_b, gumb_b, counts_b, sumx_b, sumsq_b,
+                  uni_b, cj_b, ohpi_b):
+        uni_c = uni_b.astype(dtype)
+        n_uni = jnp.sum(uni_c)
+        uni_prob = (uni_c + a_s / Kf) / (n_uni + a_s)
+        uni_w = lms_f * (jnp.log(uni_c + a_s / Kf) - jnp.log(n_uni + a_s))
+
+        def weight_fn(counts_f, j_prev):  # noqa: ARG001
+            j_s = jnp.maximum(j_prev, 0)
+            row = big_table[j_s].astype(dtype)
+            sel = (cj_b == j_s).astype(dtype)
+            row = row - sel @ ohpi_b
+            uni_j = uni_c[j_s]
+            p_cond = lam * uni_prob + (1.0 - lam) * (
+                (row) + b_s / Kf
+            ) / (uni_j + b_s)
+            return jnp.where(j_prev >= 0, lms_f * jnp.log(p_cond), uni_w)
+
+        core = _diag_chain_xla_core(
+            m_0, float(k_0), float(v_0), S_0, temp, K, D, dtype, weight_fn,
+            False)
+        return core(embeds_b, Xe_b, lpr_b, gumb_b, counts_b, sumx_b,
+                    sumsq_b)
+
+    ohpi = (
+        jax.nn.one_hot(jnp.maximum(corr_i, 0), K, dtype=dtype)
+        * ((corr_i >= 0) & (corr_j >= 0)).astype(dtype)[..., None]
+    )
+    return jax.vmap(one_chain)(
+        embeds, Xe, log_prior_e.astype(dtype), gumbel.astype(dtype),
+        counts, sum_x.astype(dtype), sum_sq.astype(dtype),
+        uni_lo, corr_j, ohpi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_0", "v_0", "alpha_a", "intrp_lambda", "b_smooth",
+                     "K", "lms", "interpret"),
+)
+def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
+                      m_0, k_0, v_0, S_0, temp,
+                      uni_lo, big_table, corr_j, corr_i,
+                      alpha_a: float, intrp_lambda: float, b_smooth: float,
+                      K: int, lms: float = 1.0, interpret: bool = False):
+    """Bigram-conditioned assignment chains for the diagonal-covariance
+    backend: :func:`diag_chain`'s normal-inverse-chi-squared scoring/update
+    machinery with :func:`bigram_fixedvar_chain`'s smoothed-bigram-LM
+    mixture weights (reference ``gibbs_sample_inside_loop_i_embed``,
+    bigram_acoustic_wordseg.py:332-384, scoring
+    gaussian_components_diag.py:237-259).
+
+    Inputs are the union of the two kernels': diag statistics/prior
+    (``sum_sq``, ``m_0``/``k_0``/``v_0``/``S_0``) plus the LM tables
+    (``uni_lo`` [B, K] leave-out unigram counts, ``big_table`` [K, K] global
+    bigram counts, ``corr_j``/``corr_i`` [B, S] the utterance's own OLD
+    bigram pairs, removed from the conditioned row on the fly).
+    """
+    B, S, D = Xe.shape
+    D_pad = _round_up(max(D, 8), 8)
+    K_pad = _round_up(K, 128)
+    B_tile = _pick_b_tile(
+        4.0 * (2 * S * K_pad + 9 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
+        8, B, shared_bytes=4.0 * K_pad * K_pad)
+    B_pad = _round_up(B, B_tile)
+    dtype = Xe.dtype
+    Kf = float(K)
+    k0 = float(k_0)
+    v0 = float(v_0)
+    lam = float(intrp_lambda)
+    a_s = float(alpha_a)
+    b_s = float(b_smooth)
+    lms_f = float(lms)
+
+    def bpad(a, fill=0):
+        return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    xeT = bpad(jnp.pad(
+        jnp.swapaxes(Xe, 1, 2), ((0, 0), (0, D_pad - D), (0, 0))
+    ))
+    gumb = bpad(jnp.pad(gumbel.astype(dtype), ((0, 0), (0, 0), (0, K_pad - K))))
+    okf = bpad((embeds >= 0).astype(dtype)[:, None, :])
+    logp = bpad(log_prior_e.astype(dtype)[:, None, :])
+    counts_f = bpad(
+        jnp.pad(counts.astype(dtype), ((0, 0), (0, K_pad - K)))[:, None, :]
+    )
+
+    def statpad(a):
+        return bpad(jnp.pad(
+            jnp.swapaxes(a, 1, 2).astype(dtype),
+            ((0, 0), (0, D_pad - D), (0, K_pad - K)),
+        ))
+
+    sumx = statpad(sum_x)
+    sumsq = statpad(sum_sq)
+    uni = bpad(jnp.pad(uni_lo.astype(dtype),
+                       ((0, 0), (0, K_pad - K)))[:, None, :])
+    big = jnp.pad(big_table.astype(dtype),
+                  ((0, K_pad - K), (0, K_pad - K)))
+    oh_pi = (
+        jax.nn.one_hot(jnp.maximum(corr_i, 0), K_pad, dtype=dtype)
+        * ((corr_i >= 0) & (corr_j >= 0)).astype(dtype)[..., None]
+    )
+    oh_pi = bpad(oh_pi)
+    cj = bpad(corr_j.astype(jnp.int32)[:, None, :])  # [B_pad, 1, S]
+
+    def colpad(v, fill):
+        v = jnp.asarray(v, dtype)
+        return jnp.pad(v, (0, D_pad - D), constant_values=fill)[:, None]
+
+    m0_c = colpad(m_0, 0.0)               # [D_pad, 1]
+    s0_c = colpad(S_0, 1.0)
+    snp0_c = s0_c + k0 * m0_c * m0_c      # S_0 + k_0 m_0^2 (prior part)
+
+    def kernel(temp_ref, ns_ref, m0_ref, snp0_ref, big_ref, logp_ref,
+               okf_ref, cj_ref, xe_ref, gumb_ref, counts_ref, sumx_ref,
+               sumsq_ref, uni_ref, ohpi_ref, ks_ref):
+        temp = temp_ref[0, 0]
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+        dmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, D_pad, 1), 1) < D
+        ).astype(dtype)
+        real = lane_k < K
+        realf = real.astype(dtype)
+        m0 = m0_ref[:]
+        snp0 = snp0_ref[:]
+
+        uni_c = uni_ref[:]  # [B_t, 1, K_pad] leave-out unigram counts
+        n_uni = jnp.sum(uni_c * realf, axis=2, keepdims=True)
+        uni_prob = (uni_c + a_s / Kf) / (n_uni + a_s)
+        uni_w = lms_f * (jnp.log(uni_c + a_s / Kf) - jnp.log(n_uni + a_s))
+
+        def derive(cnt, sx, ssq):
+            """m_n, var, v_n (gaussian_components_diag.py:169-176, :332-345)."""
+            k_n = k0 + cnt
+            v_n = v0 + cnt
+            m_n = (k0 * m0 + sx) / k_n
+            var = (k_n + 1.0) / (k_n * v_n) * (snp0 + ssq - k_n * m_n * m_n)
+            return m_n, var, v_n
+
+        def glr(v_n):
+            """gammaln((v+1)/2) - gammaln(v/2)."""
+            return _lgamma_stirling((v_n + 1.0) / 2.0) - _lgamma_stirling(
+                v_n / 2.0
+            )
+
+        def body(s, carry):
+            counts_f, sumx, sumsq, mu, var, lpv, gr, j_prev = carry
+            oh_lane = (lane_s == s).astype(dtype)
+            oh_sub = (sub_s == s).astype(dtype)
+            x = jnp.sum(xe_ref[:] * oh_lane, axis=2, keepdims=True)
+            g = jnp.sum(gumb_ref[:] * oh_sub, axis=1, keepdims=True)
+            ok = jnp.sum(okf_ref[:] * oh_lane, axis=2, keepdims=True)
+            lp = jnp.sum(logp_ref[:] * oh_lane, axis=2, keepdims=True)
+
+            # LM weights conditioned on the previous component (one
+            # [B_t, K] x [K, K] matvec on the MXU; see
+            # bigram_fixedvar_chain for the correction algebra).
+            j_s = jnp.maximum(j_prev, 0)  # [B_t, 1, 1] int32
+            oh_j = (lane_k == j_s).astype(dtype)
+            row = jax.lax.dot_general(
+                oh_j[:, 0, :], big_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )[:, None, :]
+            sel = (cj_ref[:] == j_s).astype(dtype)  # [B_t, 1, S]
+            corr = jnp.sum(
+                ohpi_ref[:] * jnp.swapaxes(sel, 1, 2), axis=1, keepdims=True
+            )
+            uni_j = jnp.sum(oh_j * uni_c, axis=2, keepdims=True)
+            p_cond = lam * uni_prob + (1.0 - lam) * (
+                (row - corr) + b_s / Kf
+            ) / (uni_j + b_s)
+            w_big = lms_f * jnp.log(p_cond)
+            # Select (not blend): the unused branch can be NaN for the
+            # first segment of an utterance.
+            w = jnp.where(j_prev >= 0, w_big, uni_w)
+
+            v_n = v0 + counts_f
+            delta = x - mu
+            t1 = jnp.sum(
+                jnp.log1p(delta * delta / (var * v_n) * dmask)
+                * dmask, axis=1, keepdims=True,
+            )
+            post = (
+                D * (gr - 0.5 * jnp.log(v_n) - 0.5 * math.log(math.pi))
+                - 0.5 * lpv
+                - (v_n + 1.0) / 2.0 * t1
+            )
+            logits = w + jnp.where(counts_f > 0.0, post, lp)
+            logits = jnp.where(real, logits, NEG_INF)
+            perturbed = jnp.where(
+                jnp.isneginf(logits), NEG_INF, logits / temp + g
+            )
+            k_draw = jnp.argmax(perturbed, axis=2)[..., None]
+
+            oh_draw = (lane_k == k_draw).astype(dtype)
+            cnt_at = jnp.sum(oh_draw * counts_f, axis=2, keepdims=True)
+            empty = jnp.where(jnp.logical_and(counts_f <= 0.0, real), 1.0, 0.0)
+            any_empty = jnp.max(empty, axis=2, keepdims=True) > 0.0
+            # First-empty via a tie-free min over lane indices: Mosaic's
+            # native argmax breaks ties by LAST index (XLA: first).
+            first_empty = jnp.min(
+                jnp.where(empty > 0.0, lane_k, K_pad), axis=2, keepdims=True
+            )
+            k_new = jnp.where(
+                cnt_at > 0.0, k_draw,
+                jnp.where(any_empty, first_empty, K - 1),
+            )
+
+            oh = (lane_k == k_new).astype(dtype) * ok
+            new_counts = counts_f + oh
+            new_sumx = sumx + oh * x
+            new_sumsq = sumsq + oh * (x * x)
+            cnt_row = jnp.sum(oh * new_counts, axis=2, keepdims=True)
+            sx_row = jnp.sum(oh * new_sumx, axis=2, keepdims=True)
+            ssq_row = jnp.sum(oh * new_sumsq, axis=2, keepdims=True)
+            mu_row_new, var_row_new, _ = derive(cnt_row, sx_row, ssq_row)
+            mu_row_old = jnp.sum(oh * mu, axis=2, keepdims=True)
+            var_row_old = jnp.sum(oh * var, axis=2, keepdims=True)
+            new_mu = mu + oh * (mu_row_new - mu_row_old)
+            new_var = var + oh * (var_row_new - var_row_old)
+            safe = lambda r: jnp.where(  # noqa: E731
+                jnp.logical_and(dmask > 0.0, r > 0.0), r, 1.0)
+            t_new = jnp.sum(jnp.log(safe(var_row_new)), axis=1, keepdims=True)
+            t_old = jnp.sum(jnp.log(safe(var_row_old)), axis=1, keepdims=True)
+            new_lpv = lpv + oh * (t_new - t_old)
+            gr_row_new = glr(v0 + cnt_row)
+            gr_row_old = jnp.sum(oh * gr, axis=2, keepdims=True)
+            new_gr = gr + oh * (gr_row_new - gr_row_old)
+
+            okb = ok > 0.0
+            ks_ref[:, pl.ds(s, 1), :] = jnp.where(
+                okb, k_new, -1
+            ).astype(jnp.int32).reshape(-1, 1, 1)
+            j_next = jnp.where(okb, k_new.astype(jnp.int32), j_prev)
+            return (new_counts, new_sumx, new_sumsq, new_mu, new_var,
+                    new_lpv, new_gr, j_next)
+
+        counts0 = counts_ref[:]
+        sumx0 = sumx_ref[:]
+        sumsq0 = sumsq_ref[:]
+        mu0, var0_, _ = derive(counts0, sumx0, sumsq0)
+        lpv0 = jnp.sum(
+            jnp.log(jnp.where(dmask > 0.0, var0_, 1.0)), axis=1, keepdims=True
+        )
+        gr0 = glr(v0 + counts0)
+        j0 = jnp.full((B_tile, 1, 1), -1, jnp.int32)
+        ks_ref[:] = jnp.full((B_tile, S, 1), -1, jnp.int32)
+        jax.lax.fori_loop(
+            0, ns_ref[pl.program_id(0), 0], body,
+            (counts0, sumx0, sumsq0, mu0, var0_, lpv0, gr0, j0)
+        )
+
+    temp_in = jnp.asarray(temp, dtype=dtype).reshape(1, 1)
+    shared2 = lambda i: (0, 0)  # noqa: E731
+    own3 = lambda i: (i, 0, 0)  # noqa: E731
+    ks = pl.pallas_call(
+        kernel,
+        grid=(B_pad // B_tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1), shared2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((B_pad // B_tile, 1), shared2,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((D_pad, 1), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_pad, 1), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_pad, K_pad), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, S), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, D_pad, K_pad), own3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_tile, S, 1), own3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, S, 1), jnp.int32),
+        interpret=interpret,
+    )(temp_in, _tile_step_bounds(embeds, S, B, B_pad, B_tile),
+      m0_c, snp0_c, big, logp, okf, cj, xeT, gumb, counts_f, sumx,
+      sumsq, uni, oh_pi)
+    return ks[:B, :, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k_0", "v_0", "alpha", "K", "lms", "use_argmax",
-                     "interpret"),
+                     "interpret", "lm_params"),
 )
 def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
                          lo_counts, slot_cnt0, t_m0, t_invP0, t_ldP0,
                          tk0, g_m, g_invP, g_ldP, k_0, v_0, temp,
                          alpha: float, K: int, lms: float = 1.0,
-                         use_argmax: bool = False, interpret: bool = False):
+                         use_argmax: bool = False, interpret: bool = False,
+                         uni_lo=None, big_table=None, corr_j=None,
+                         corr_i=None, lm_params=None):
     """Within-utterance assignment chains for the full-covariance (NIW)
     backend: the Pallas twin of ``segmenters.fullcov.fullcov_chain``
     (reference conditioning ``fbgmm.py:422-463``; predictive math
@@ -791,16 +1215,27 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
         tables in P-form (T0 = S_old; ``segmenters.fullcov.params_to_P``).
     g_m / g_invP / g_ldP : [K, D] / [K, D, D] / [K] global P-form tables.
     k_0, v_0 : static NIW prior scalars.
+
+    Bigram mode (``lm_params`` given): the collapsed-Dirichlet mixture-weight
+    term is replaced by the smoothed interpolated bigram LM conditioned on
+    the previous segment's sampled component, exactly as in
+    :func:`bigram_fixedvar_chain` (reference
+    ``gibbs_sample_inside_loop_i_embed``, bigram_acoustic_wordseg.py:332-384).
+    ``lm_params = (alpha_a, intrp_lambda, b_smooth)`` static scalars;
+    ``uni_lo`` [B, K] leave-out unigram counts, ``big_table`` [K, K] global
+    bigram counts, ``corr_j``/``corr_i`` [B, S] the utterance's own OLD
+    pairs (removed from the conditioned row on the fly); ``alpha`` is unused.
     """
     B, S, D = Xe.shape
     DD = D * D
     T0 = tk0.shape[1]
     T = _round_up(T0 + S, 8)
     K_pad = _round_up(K, 128)
+    bigram = lm_params is not None
     B_tile = _pick_b_tile(
-        4.0 * (2 * S * K_pad + 3 * T * K_pad + 4 * T * 256) * 1.2,
+        4.0 * ((2 + bigram) * S * K_pad + 3 * T * K_pad + 4 * T * 256) * 1.2,
         8, B,
-        shared_bytes=4.0 * K_pad * (256 + 128 + 1))
+        shared_bytes=4.0 * K_pad * (256 + 128 + 1 + bigram * K_pad))
     B_pad = _round_up(B, B_tile)
     dtype = Xe.dtype
     Kf = float(K)
@@ -847,15 +1282,42 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
 
     ns_in = _tile_step_bounds(embeds, S, B, B_pad, B_tile)
 
+    # Bigram-LM conditioning tables (see the docstring; segment positions
+    # on sublanes to match this kernel's layout).  The old-pair tables have
+    # their OWN slot count S_c (= S_old, which equals S in the driver but
+    # not necessarily in general).
+    if bigram:
+        a_s, lam, b_s = (float(p) for p in lm_params)
+        S_c = corr_j.shape[1]
+        uni_in = bpad(jnp.pad(uni_lo.astype(dtype),
+                              ((0, 0), (0, K_pad - K)))[:, None, :])
+        big_in = jnp.pad(big_table.astype(dtype),
+                         ((0, K_pad - K), (0, K_pad - K)))
+        ohpi_in = bpad(
+            jax.nn.one_hot(jnp.maximum(corr_i, 0), K_pad, dtype=dtype)
+            * ((corr_i >= 0) & (corr_j >= 0)).astype(dtype)[..., None]
+        )                                                   # [B, S_c, K_pad]
+        cj_in = bpad(corr_j.astype(jnp.int32)[:, :, None])  # [B, S_c, 1]
+
     def kernel(temp_ref, ns_ref, g_m_ref, g_invP_ref, g_ld_ref, xe_ref,
                okf_ref, logp_ref, gumb_ref, base_ref, counts_ref, scnt_ref,
                tm_ref, tiP_ref, tld_ref, free_ref, oh_ref, tmask_ref,
-               ks_ref):
+               *rest):
+        if bigram:
+            uni_ref, big_ref, cj_ref, ohpi_ref, ks_ref = rest
+        else:
+            (ks_ref,) = rest
         temp = temp_ref[0, 0]
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
         sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
         sub_t = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
         real = lane_k < K
+        if bigram:
+            uni_c = uni_ref[:]  # [B_t, 1, K_pad] leave-out unigram counts
+            realf = real.astype(dtype)
+            n_uni = jnp.sum(uni_c * realf, axis=2, keepdims=True)
+            uni_prob = (uni_c + a_s / Kf) / (n_uni + a_s)
+            uni_w = lms * (jnp.log(uni_c + a_s / Kf) - jnp.log(n_uni + a_s))
 
         def glr(v):
             """gammaln((v + D) / 2) - gammaln(v / 2), Stirling."""
@@ -871,7 +1333,11 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
             return jnp.concatenate(cols, axis=2)          # [B_t, T, D]
 
         def body(s, carry):
-            counts_f, scnt, t_m, t_invP, t_ldP, free, OH, tmask = carry
+            if bigram:
+                (counts_f, scnt, t_m, t_invP, t_ldP, free, OH, tmask,
+                 j_prev) = carry
+            else:
+                counts_f, scnt, t_m, t_invP, t_ldP, free, OH, tmask = carry
             oh_s = (sub_s == s).astype(dtype)             # [1, S, 1]
             x = jnp.sum(xe_ref[:] * oh_s, axis=1, keepdims=True)
             ok = jnp.sum(okf_ref[:] * oh_s, axis=1, keepdims=True)
@@ -899,7 +1365,26 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
             corr = jnp.sum(OH * c, axis=1, keepdims=True)  # [B_t, 1, K_pad]
             post = jnp.where(tmask > 0.0, corr, b_row)
 
-            w = lms * jnp.log(alpha / Kf + counts_f)
+            if bigram:
+                # Smoothed interpolated bigram conditional given the previous
+                # sampled component (see bigram_fixedvar_chain).
+                j_s = jnp.maximum(j_prev, 0)              # [B_t, 1, 1]
+                oh_j = (lane_k == j_s).astype(dtype)      # [B_t, 1, K_pad]
+                row = jax.lax.dot_general(
+                    oh_j[:, 0, :], big_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                )[:, None, :]
+                sel = (cj_ref[:] == j_s).astype(dtype)    # [B_t, S, 1]
+                corr_lm = jnp.sum(ohpi_ref[:] * sel, axis=1, keepdims=True)
+                uni_j = jnp.sum(oh_j * uni_c, axis=2, keepdims=True)
+                p_cond = lam * uni_prob + (1.0 - lam) * (
+                    (row - corr_lm) + b_s / Kf
+                ) / (uni_j + b_s)
+                # Select (not blend): the unused branch can be NaN for the
+                # first segment of an utterance.
+                w = jnp.where(j_prev >= 0, lms * jnp.log(p_cond), uni_w)
+            else:
+                w = lms * jnp.log(alpha / Kf + counts_f)
             logits = w + jnp.where(counts_f > 0.0, post, lp)
             logits = jnp.where(real, logits, NEG_INF)
             if use_argmax:
@@ -998,6 +1483,10 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
             ks_ref[:, pl.ds(s, 1), :] = jnp.where(
                 ok > 0.0, k_new, -1
             ).astype(jnp.int32).reshape(-1, 1, 1)
+            if bigram:
+                j_next = jnp.where(ok > 0.0, k_new.astype(jnp.int32), j_prev)
+                return (counts_f, scnt, t_m, t_invP, t_ldP, free, OH, tmask,
+                        j_next)
             return counts_f, scnt, t_m, t_invP, t_ldP, free, OH, tmask
 
         # Pad steps beyond the tile's longest segment list are skipped
@@ -1006,39 +1495,52 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
         ks_ref[:] = jnp.full((B_tile, S, 1), -1, jnp.int32)
         init = (counts_ref[:], scnt_ref[:], tm_ref[:], tiP_ref[:],
                 tld_ref[:], free_ref[:], oh_ref[:], tmask_ref[:])
+        if bigram:
+            init = init + (jnp.full((B_tile, 1, 1), -1, jnp.int32),)
         jax.lax.fori_loop(0, ns_ref[pl.program_id(0), 0], body, init)
 
     temp_in = jnp.asarray(temp, dtype=dtype).reshape(1, 1)
     shared2 = lambda i: (0, 0)  # noqa: E731
     own3 = lambda i: (i, 0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, 1), shared2, memory_space=pltpu.SMEM),
+        pl.BlockSpec((B_pad // B_tile, 1), shared2,
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((K_pad, D), shared2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K_pad, DD), shared2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K_pad), shared2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, S, D), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, S, 1), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, S, 1), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, T, 1), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, T, D), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, T, DD), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, T, 1), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, T, 1), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, T, K_pad), own3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+    ]
+    inputs = (temp_in, ns_in, g_m_in, g_invP_in, g_ldP_in, xe, okf, logp,
+              gumb, base, counts_f, slot_cnt, t_m, t_invP, t_ldP, slot_free,
+              OH, tmask)
+    if bigram:
+        in_specs += [
+            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_pad, K_pad), shared2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, S_c, 1), own3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_tile, S_c, K_pad), own3, memory_space=pltpu.VMEM),
+        ]
+        inputs = inputs + (uni_in, big_in, cj_in, ohpi_in)
     ks = pl.pallas_call(
         kernel,
         grid=(B_pad // B_tile,),
-        in_specs=[
-            pl.BlockSpec((1, 1), shared2, memory_space=pltpu.SMEM),
-            pl.BlockSpec((B_pad // B_tile, 1), shared2,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((K_pad, D), shared2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_pad, DD), shared2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_pad), shared2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, S, D), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, S, 1), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, S, 1), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, S, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, T, 1), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, T, D), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, T, DD), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, T, 1), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, T, 1), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, T, K_pad), own3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_tile, 1, K_pad), own3, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B_tile, S, 1), own3,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, S, 1), jnp.int32),
         interpret=interpret,
-    )(temp_in, ns_in, g_m_in, g_invP_in, g_ldP_in, xe, okf, logp, gumb,
-      base, counts_f, slot_cnt, t_m, t_invP, t_ldP, slot_free, OH, tmask)
+    )(*inputs)
     return ks[:B, :, 0]

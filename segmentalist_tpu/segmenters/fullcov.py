@@ -32,6 +32,7 @@ predictive), ``:161-167`` (posterior stats); removal-before-scoring semantics
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -43,6 +44,7 @@ from ..models.components_full import (
     _derive_covar,
     _student_t_from_maha,
 )
+from ..ops.pallas_chain import _lgamma_stirling
 from ..models.fbgmm import log_weights
 from ..ops.random import NEG_INF
 from ..ops.stats import canonicalize_new_component
@@ -334,13 +336,26 @@ def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
             x = X[jnp.maximum(e, 0)]
 
             # Exact leave-out scores: global columns + touched corrections.
+            # Composition mirrors ops.pallas_chain.fullcov_chain_pallas
+            # op-for-op (two-step contraction, maha clamp, Stirling lgamma,
+            # same groupings) so the XLA fallback samples bit-identical
+            # chains to the Pallas kernel; exact gammaln stays in the
+            # log_marg metrics path.
             tk_safe = jnp.maximum(tk, 0)
             s_t, v_t, _ = _n_to_sv(counts[tk_safe])
             delta = x[None, :] - t_m  # [T, D]
-            maha = jnp.einsum("td,tde,te->t", delta, t_invP, delta,
-                              precision=_HI) / s_t
+            U = jnp.einsum("tde,te->td", t_invP, delta, precision=_HI)
+            mahaP = jnp.maximum(jnp.sum(U * delta, axis=-1), 0.0)
+            maha = mahaP / s_t
             ld_t = t_ldP + D * jnp.log(s_t)
-            c = _student_t_from_maha(maha, ld_t, v_t, D)
+            glr = (_lgamma_stirling((v_t + D) / 2.0)
+                   - _lgamma_stirling(v_t / 2.0))
+            c = (
+                glr
+                - 0.5 * D * (jnp.log(v_t) + math.log(math.pi))
+                - 0.5 * ld_t
+                - 0.5 * (v_t + D) * jnp.log1p(maha / v_t)
+            )
             post = base.at[jnp.where(tk >= 0, tk, K_max)].set(c, mode="drop")
 
             if incremental_w:
@@ -372,8 +387,9 @@ def fullcov_chain(prior, X, stats_params, global_counts, lo_counts,
             beta = k_n / (k_n + 1.0)
             d = x - m
             u = jnp.einsum("de,e->d", invP, d, precision=_HI)
-            denom = 1.0 + beta * jnp.dot(d, u, precision=_HI)
-            invP = invP - (beta / denom) * u[:, None] * u[None, :]
+            denom = 1.0 + beta * jnp.sum(u * d)
+            denom = jnp.where(denom > 0.0, denom, 1.0)  # pad-step guard
+            invP = invP - (beta / denom) * (u[:, None] * u[None, :])
             ldP = ldP + jnp.log(denom)
             m = (k_n * m + x) / (k_n + 1.0)
 

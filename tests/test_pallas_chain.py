@@ -237,6 +237,172 @@ def test_diag_pallas_chain_matches_xla_scan():
                                err_msg=f"use_argmax={use_argmax}")
 
 
+def test_bigram_diag_pallas_chain_matches_xla_scan():
+    """Bigram-conditioned diag chain kernel vs an XLA transcription of
+    the reference gibbs_sample_inside_loop_i_embed with diag scoring,
+    shared Gumbel noise."""
+    from segmentalist_tpu.models import components_diag as dcov
+    from segmentalist_tpu.ops.pallas_chain import bigram_diag_chain
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(13)
+    B, S, D, K = 5, 6, 3, 9
+    N = 40
+    lam, a, b_s, lms, temp = 0.25, 1.0, 2.0, 1.05, 0.85
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior = NIW.create(np.zeros(D, np.float32), 1.2, 4.0,
+                       0.5 * np.ones(D, np.float32))
+    counts = rng.randint(0, 5, (B, K)).astype(np.int32)
+    counts[:, 4] = 0  # keep an empty slot around
+    Z = rng.randn(B, K, D).astype(np.float32)
+    sum_x = (counts[..., None] * Z * 0.2).astype(np.float32)
+    sum_sq = np.abs(counts[..., None] * (Z * Z * 0.1 + 0.5)).astype(np.float32) \
+        + (sum_x ** 2) / np.maximum(counts[..., None], 1)
+    uni_lo = rng.randint(0, 7, (B, K)).astype(np.int32)
+    big_table = rng.randint(0, 4, (K, K)).astype(np.int32)
+    corr_j = rng.randint(-1, K, (B, S)).astype(np.int32)
+    corr_i = rng.randint(-1, K, (B, S)).astype(np.int32)
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    embeds[rng.rand(B, S) < 0.25] = -1
+    gumb = np.asarray(jax.random.gumbel(jax.random.PRNGKey(17), (B, S, K))
+                      ).astype(np.float32)
+    lpv = dcov.log_prior_batch(prior, X)
+
+    def xla_chain(b):
+        uni = uni_lo[b].astype(np.float32)
+        uni_prob = jnp.asarray((uni + a / K) / (uni.sum() + a))
+        uni_w = lms * jnp.asarray(
+            np.log(uni + a / K) - np.log(uni.sum() + a))
+        onehot_pi = (jax.nn.one_hot(np.maximum(corr_i[b], 0), K)
+                     * ((corr_i[b] >= 0) & (corr_j[b] >= 0))[:, None]
+                     ).astype(jnp.float32)
+        lo = SuffStats(jnp.asarray(counts[b]), jnp.asarray(sum_x[b]),
+                       jnp.asarray(sum_sq[b]))
+        params = dcov.predictive_params(prior, lo)
+
+        def step(carry, inp):
+            stats_b, p_b, j_prev = carry
+            e, g = inp
+            ok = e >= 0
+            x = X[jnp.maximum(e, 0)]
+            j_s = jnp.maximum(j_prev, 0)
+            row = jnp.asarray(big_table)[j_s].astype(jnp.float32)
+            sel = (jnp.asarray(corr_j[b]) == j_s).astype(jnp.float32)
+            row = row - sel @ onehot_pi
+            uni_j = jnp.asarray(uni_lo[b])[j_s].astype(jnp.float32)
+            p_cond = lam * uni_prob + (1 - lam) * (row + b_s / K) / (uni_j + b_s)
+            w = jnp.where(j_prev >= 0, lms * jnp.log(p_cond), uni_w)
+            post = dcov.log_post_pred(p_b, x)
+            logits = w + jnp.where(stats_b.counts > 0, post,
+                                   lpv[jnp.maximum(e, 0)])
+            k = jnp.argmax(jnp.where(jnp.isneginf(logits), -jnp.inf,
+                                     logits / temp + g))
+            k = canonicalize_new_component(stats_b.counts, k)
+            stats_b = add_item(stats_b, x, k, weight=ok.astype(jnp.int32))
+            p_b = dcov.update_predictive_row(prior, stats_b, p_b, k)
+            j_next = jnp.where(ok, k.astype(jnp.int32), j_prev)
+            return (stats_b, p_b, j_next), jnp.where(ok, k.astype(jnp.int32), -1)
+
+        (_, _, _), ks = jax.lax.scan(
+            step, (lo, params, jnp.int32(-1)),
+            (jnp.asarray(embeds[b]), jnp.asarray(gumb[b])))
+        return np.asarray(ks)
+
+    ks_ref = np.stack([xla_chain(b) for b in range(B)])
+    ks_pal = bigram_diag_chain(
+        jnp.asarray(embeds), X[jnp.maximum(jnp.asarray(embeds), 0)],
+        lpv[jnp.maximum(jnp.asarray(embeds), 0)], jnp.asarray(gumb),
+        jnp.asarray(counts), jnp.asarray(sum_x), jnp.asarray(sum_sq),
+        prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
+        jnp.float32(temp),
+        jnp.asarray(uni_lo), jnp.asarray(big_table),
+        jnp.asarray(corr_j), jnp.asarray(corr_i),
+        alpha_a=a, intrp_lambda=lam, b_smooth=b_s, K=K, lms=lms,
+        interpret=True)
+    npt.assert_array_equal(np.asarray(ks_pal), ks_ref)
+
+
+def test_diag_chain_xla_twin_bit_identical():
+    """The production XLA fallback (diag_chain_xla, used under GSPMD
+    meshes) mirrors the Pallas kernel's Stirling-lgamma composition, so the
+    chains must be EXACTLY equal on shared noise -- no near-tie carve-out."""
+    from segmentalist_tpu.ops.pallas_chain import diag_chain, diag_chain_xla
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(31)
+    B, S, D, K = 6, 7, 4, 12
+    N = 50
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior = NIW.create(np.zeros(D, np.float32), 1.5, 5.0,
+                       0.4 * np.ones(D, np.float32))
+    counts = rng.randint(0, 5, (B, K)).astype(np.int32)
+    counts[:, 2] = 0
+    Z = rng.randn(B, K, D).astype(np.float32)
+    sum_x = (counts[..., None] * Z * 0.2).astype(np.float32)
+    sum_sq = np.abs(counts[..., None] * (Z * Z * 0.1 + 0.5)).astype(np.float32) \
+        + (sum_x ** 2) / np.maximum(counts[..., None], 1)
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    embeds[rng.rand(B, S) < 0.3] = -1
+    gumb = np.asarray(jax.random.gumbel(jax.random.PRNGKey(37), (B, S, K))
+                      ).astype(np.float32)
+    from segmentalist_tpu.models import components_diag as dcov
+    lpv = dcov.log_prior_batch(prior, X)
+    args = (jnp.asarray(embeds), X[jnp.maximum(jnp.asarray(embeds), 0)],
+            lpv[jnp.maximum(jnp.asarray(embeds), 0)], jnp.asarray(gumb),
+            jnp.asarray(counts), jnp.asarray(sum_x), jnp.asarray(sum_sq),
+            prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
+            jnp.float32(0.8))
+    for use_argmax in (False, True):
+        ks_pal = diag_chain(*args, alpha=1.0, K=K, lms=1.1,
+                            use_argmax=use_argmax, interpret=True)
+        ks_xla = diag_chain_xla(*args, alpha=1.0, K=K, lms=1.1,
+                                use_argmax=use_argmax)
+        npt.assert_array_equal(np.asarray(ks_pal), np.asarray(ks_xla),
+                               err_msg=f"use_argmax={use_argmax}")
+
+
+def test_bigram_diag_chain_xla_twin_bit_identical():
+    """bigram_diag_chain_xla (GSPMD fallback) vs the Pallas kernel: exactly
+    equal chains on shared noise."""
+    from segmentalist_tpu.ops.pallas_chain import (
+        bigram_diag_chain, bigram_diag_chain_xla)
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(41)
+    B, S, D, K = 5, 6, 3, 10
+    N = 40
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior = NIW.create(np.zeros(D, np.float32), 1.2, 4.0,
+                       0.5 * np.ones(D, np.float32))
+    counts = rng.randint(0, 5, (B, K)).astype(np.int32)
+    counts[:, 3] = 0
+    Z = rng.randn(B, K, D).astype(np.float32)
+    sum_x = (counts[..., None] * Z * 0.2).astype(np.float32)
+    sum_sq = np.abs(counts[..., None] * (Z * Z * 0.1 + 0.5)).astype(np.float32) \
+        + (sum_x ** 2) / np.maximum(counts[..., None], 1)
+    uni_lo = rng.randint(0, 7, (B, K)).astype(np.int32)
+    big_table = rng.randint(0, 4, (K, K)).astype(np.int32)
+    corr_j = rng.randint(-1, K, (B, S)).astype(np.int32)
+    corr_i = rng.randint(-1, K, (B, S)).astype(np.int32)
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    embeds[rng.rand(B, S) < 0.25] = -1
+    gumb = np.asarray(jax.random.gumbel(jax.random.PRNGKey(43), (B, S, K))
+                      ).astype(np.float32)
+    from segmentalist_tpu.models import components_diag as dcov
+    lpv = dcov.log_prior_batch(prior, X)
+    args = (jnp.asarray(embeds), X[jnp.maximum(jnp.asarray(embeds), 0)],
+            lpv[jnp.maximum(jnp.asarray(embeds), 0)], jnp.asarray(gumb),
+            jnp.asarray(counts), jnp.asarray(sum_x), jnp.asarray(sum_sq),
+            prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
+            jnp.float32(0.9),
+            jnp.asarray(uni_lo), jnp.asarray(big_table),
+            jnp.asarray(corr_j), jnp.asarray(corr_i))
+    kw = dict(alpha_a=1.0, intrp_lambda=0.25, b_smooth=2.0, K=K, lms=1.05)
+    ks_pal = bigram_diag_chain(*args, interpret=True, **kw)
+    ks_xla = bigram_diag_chain_xla(*args, **kw)
+    npt.assert_array_equal(np.asarray(ks_pal), np.asarray(ks_xla))
+
+
 def test_lgamma_stirling_accuracy():
     from scipy.special import gammaln as sp_gammaln
 
@@ -305,6 +471,94 @@ def test_fullcov_pallas_chain_matches_xla_scan():
             float(prior.k_0), float(prior.v_0), temp,
             alpha=alpha, K=K, lms=lms, use_argmax=use_argmax, interpret=True)
         npt.assert_array_equal(np.asarray(xla_ks), np.asarray(pal_ks))
+
+
+def test_bigram_fullcov_pallas_chain_matches_xla():
+    """The bigram-LM mode of fullcov_chain_pallas vs the XLA fullcov_chain
+    with the bigram weight_fn, shared Gumbel noise."""
+    from segmentalist_tpu.models import components_full as cf
+    from segmentalist_tpu.ops.pallas_chain import fullcov_chain_pallas
+    from segmentalist_tpu.ops.stats import suff_stats_from_assignments
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.segmenters.common import (
+        leave_out_stats, utterance_contrib)
+    from segmentalist_tpu.segmenters.fullcov import (
+        fullcov_chain, pallas_chain_inputs, touched_leave_out)
+
+    D, K, N = 3, 7, 40
+    lam, a, b_s, lms, temp = 0.2, 1.0, 1.5, 1.1, 0.9
+    rng = np.random.RandomState(21)
+    X = jnp.asarray(rng.randn(N, D))
+    prior = NIW.create(np.zeros(D), 1.0, D + 2.0,
+                       np.eye(D) + 0.1 * np.ones((D, D)))
+    assignments = jnp.asarray(rng.randint(-1, K - 2, N), dtype=jnp.int32)
+    stats = suff_stats_from_assignments(X, assignments, K, full_cov=True)
+    old_embeds = jnp.asarray(
+        [[0, 1, 2, -1], [3, 3, 4, 5], [-1, -1, -1, -1]], dtype=jnp.int32)
+    old_ks = jnp.where(old_embeds >= 0,
+                       assignments[jnp.maximum(old_embeds, 0)], -1)
+    B = old_embeds.shape[0]
+    log_prior_vec = cf.log_prior_batch(prior, X)
+    new_embeds = jnp.asarray(
+        [[6, 7, 8, -1, -1], [9, 10, 11, 12, -1], [13, -1, -1, -1, -1]],
+        dtype=jnp.int32)
+    gumbel = jax.random.gumbel(
+        jax.random.PRNGKey(23), new_embeds.shape + (K,), dtype=X.dtype)
+
+    uni_lo = jnp.asarray(rng.randint(1, 8, (B, K)), dtype=jnp.int32)
+    big_table = jnp.asarray(rng.randint(0, 5, (K, K)), dtype=jnp.int32)
+    # The utterance's own OLD (prev, cur) pairs, like the driver's
+    # transcript_pairs_batch(old_ks).
+    from segmentalist_tpu.models.bigram_lm import transcript_pairs_batch
+    pj, pi = transcript_pairs_batch(old_ks)
+
+    lo = leave_out_stats(
+        stats, utterance_contrib(X, old_embeds, old_ks, K, full_cov=True))
+    params_g = cf.predictive_params(prior, stats)
+    touched = touched_leave_out(prior, stats, X, old_embeds, old_ks)
+    S = new_embeds.shape[1]
+    G_new = cf.log_post_pred_batch(
+        params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, D)
+    ).reshape(B, S, K)
+    (scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld) = pallas_chain_inputs(
+        prior, params_g, stats.counts, touched)
+
+    # XLA twin: the driver's bigram weight_fn construction
+    # (segmenters/bigram.py).
+    dtype = X.dtype
+
+    def weight_fn(counts, j_prev, aux_b):
+        uni_w, uni_prob, uni_lo_b, big_corr_j, onehot_pi = aux_b
+        j_s = jnp.maximum(j_prev, 0)
+        row = big_table[j_s].astype(dtype)
+        sel = (big_corr_j == j_s).astype(dtype)
+        row = row - sel @ onehot_pi
+        uni_j = uni_lo_b[j_s].astype(dtype)
+        p_cond = lam * uni_prob + (1.0 - lam) * (row + b_s / K) / (
+            uni_j + b_s)
+        return jnp.where(j_prev >= 0, lms * jnp.log(p_cond), uni_w)
+
+    uni_f = uni_lo.astype(dtype)
+    uni_w = lms * (jnp.log(uni_f + a / K)
+                   - jnp.log(jnp.sum(uni_f, -1, keepdims=True) + a))
+    uni_prob = (uni_f + a / K) / (jnp.sum(uni_f, -1, keepdims=True) + a)
+    onehot_pi = (jax.nn.one_hot(jnp.maximum(pi, 0), K, dtype=dtype)
+                 * (pi >= 0).astype(dtype)[..., None])
+    aux = (uni_w, uni_prob, uni_lo, pj, onehot_pi)
+
+    xla_ks = fullcov_chain(
+        prior, X, params_g, stats.counts, lo.counts, touched, new_embeds,
+        G_new, gumbel, log_prior_vec, 0.0, K, lms, temp, use_argmax=False,
+        weight_fn=weight_fn, aux_args=aux)
+    pal_ks = fullcov_chain_pallas(
+        new_embeds, X[jnp.maximum(new_embeds, 0)],
+        log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel, G_new,
+        lo.counts, scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld,
+        float(prior.k_0), float(prior.v_0), temp,
+        alpha=0.0, K=K, lms=lms, use_argmax=False, interpret=True,
+        uni_lo=uni_lo, big_table=big_table, corr_j=pj, corr_i=pi,
+        lm_params=(float(a), float(lam), float(b_s)))
+    npt.assert_array_equal(np.asarray(xla_ks), np.asarray(pal_ks))
 
 
 def test_chain_pad_patterns_dynamic_bound():
