@@ -106,8 +106,14 @@ def fixed_prior():
 
 
 def time_sweeps(sample):
+    from segmentalist_tpu.segmenters.unigram import _WORDSEG_CHUNK
+
     t0 = time.time()
-    sample(1)  # warmup / compile
+    sample(1)  # warmup / compile the single-sweep path
+    # Warm the fused multi-sweep chunk too (it is a separate jit program;
+    # compiling it inside the timed region charged ~20 s of tunnel compile
+    # to the per-sweep number).
+    sample(_WORDSEG_CHUNK)
     log("  warmup (incl. compile): %.1fs" % (time.time() - t0))
     t0 = time.time()
     rec = sample(N_SWEEPS)

@@ -108,29 +108,12 @@ class BigramAcousticWordseg:
         assignments = -1 * np.ones(N, dtype=int)
         if seed_assignments_dict is not None:
             logger.info("Using seed assignments")
-            self.seed_to_cluster = {}
-            i_cluster = 0
-            for i_utt, utt in enumerate(ids_to_utterance_labels):
-                utt_init_embeds = np.array(
-                    self.utterances.get_segmented_embeds_i(i_utt), dtype=int
-                )
-                utt_init_assignments = np.array(seed_assignments_dict[utt][:])
-                utt_init_assignments = utt_init_assignments[utt_init_embeds != -1]
-                utt_init_embeds = utt_init_embeds[utt_init_embeds != -1]
-                for s in utt_init_assignments:
-                    if s not in self.seed_to_cluster:
-                        if isinstance(s, (int, np.integer)):
-                            self.seed_to_cluster[s] = int(s)
-                        else:
-                            self.seed_to_cluster[s] = i_cluster
-                            i_cluster += 1
-                assignments[utt_init_embeds] = [
-                    self.seed_to_cluster[s] for s in utt_init_assignments
-                ]
-            if am_K is None:
-                am_K = max(self.seed_to_cluster.values()) + 1
-            else:
-                assert am_K >= max(self.seed_to_cluster.values()) + 1
+            from .common import seed_assignments_to_vector
+
+            self.seed_to_cluster, am_K = seed_assignments_to_vector(
+                self.utterances, ids_to_utterance_labels,
+                seed_assignments_dict, assignments, am_K,
+            )
         elif init_am_assignments == "rand":
             logger.info("Using random initial component assignments")
             assignments[init_embeds] = np.random.randint(0, am_K, len(init_embeds))
@@ -165,6 +148,7 @@ class BigramAcousticWordseg:
             raise ValueError("invalid `fb_type`: " + fb_type)
         self.fb_type = fb_type
         self._sweep_fn = None
+        self._chunk_fn = None
 
     def set_lm_counts(self):
         self.lm.state = self._all_transcript_counts()
@@ -393,49 +377,81 @@ class BigramAcousticWordseg:
         record = {k: [] for k in (
             "sample_time", "log_marg", "log_marg*length", "log_prob_z",
             "log_prob_X_given_z", "anneal_temp", "components", "n_tokens")}
-        # Asynchronous record loop; one batched fetch at the end.
+        # Asynchronous record loop; one batched fetch at the end.  Full
+        # _WORDSEG_CHUNK-sized runs fuse into one dispatch with device-side
+        # permutations (see segmenters/unigram.py); chunk entries'
+        # sample_time is the chunk average.
+        from .unigram import _WORDSEG_CHUNK
+
+        use_chunks = (
+            monitor_i is None and not validate
+            and getattr(self, "_mesh", None) is None
+            and not getattr(self, "_shard_map_mode", False)
+        )
         pending = []
         pending_monitor = []
         pending_validate = []
         start = time.time()
-        for i_iter in range(n_iter):
+        i_iter = 0
+        while i_iter < n_iter:
+            if use_chunks and n_iter - i_iter >= _WORDSEG_CHUNK:
+                chunk = self._get_chunk_fn(bool(assignments_only))
+                am = self.acoustic_model
+                ts = np.asarray(temps[i_iter:i_iter + _WORDSEG_CHUNK],
+                                dtype=am.X.dtype)
+                ats = ts if anneal_gibbs_am else np.ones_like(ts)
+                (am.stats, am.assignments, self._boundaries_dev,
+                 self.lm.state, am.key, lps, ms) = chunk(
+                    am.stats, am.assignments, self._boundaries_dev,
+                    self.lm.state, am.key, ts, ats)
+                pending.append((time.time(), _WORDSEG_CHUNK, ts, lps, ms))
+                i_iter += _WORDSEG_CHUNK
+                continue
             temp = float(temps[i_iter])
             order = self._rng.permutation(self.utterances.D)
             blocks = pad_utterance_order(order, self.batch_size)
             log_prob_dev = self._run_blocks_async(blocks, temp,
                                                   anneal_gibbs_am,
                                                   assignments_only)
-            pending.append((time.time(), temp, log_prob_dev,
+            pending.append((time.time(), 1, [temp], log_prob_dev,
                             self.sweep_metrics_device()))
             if monitor_i is not None:
                 pending_monitor.append(self._monitor_device(int(monitor_i)))
             if validate:
                 pending_validate.append(self._validate_device())
+            i_iter += 1
         if monitor_i is not None:
             dbg.log_monitor(logger, int(monitor_i),
                             jax.device_get(pending_monitor))
         if validate:
             dbg.check_validation(jax.device_get(pending_validate),
                                  dbg.BIGRAM_CHECKS)
-        fetched = jax.device_get([(lp, m) for _, _, lp, m in pending])
+        fetched = jax.device_get([(lp, m) for _, _, _, lp, m in pending])
         prev_t = start
-        for i_iter, ((t_disp, temp, _, _),
-                     (log_prob, (lpz, lpx, k_act, n_tok))) in enumerate(
-            zip(pending, fetched)
+        i_iter = 0
+        for (t_disp, n, ts, _, _), (log_prob, m_fetched) in zip(
+            pending, fetched
         ):
-            record["sample_time"].append(t_disp - prev_t)
+            dt = (t_disp - prev_t) / n
             prev_t = t_disp
-            record["log_marg"].append(float(lpz) + float(lpx))
-            record["log_marg*length"].append(float(log_prob))
-            record["log_prob_z"].append(float(lpz))
-            record["log_prob_X_given_z"].append(float(lpx))
-            record["anneal_temp"].append(temp)
-            record["components"].append(int(k_act))
-            record["n_tokens"].append(int(n_tok))
-            info = "iteration: " + str(i_iter)
-            for k in sorted(record):
-                info += ", " + k + ": " + str(record[k][-1])
-            logger.info(info)
+            for j in range(n):
+                lpz, lpx, k_act, n_tok = (
+                    jax.tree.map(lambda a: a[j], m_fetched)
+                    if n > 1 else m_fetched)
+                lp_j = log_prob[j] if n > 1 else log_prob
+                record["sample_time"].append(dt)
+                record["log_marg"].append(float(lpz) + float(lpx))
+                record["log_marg*length"].append(float(lp_j))
+                record["log_prob_z"].append(float(lpz))
+                record["log_prob_X_given_z"].append(float(lpx))
+                record["anneal_temp"].append(float(ts[j]))
+                record["components"].append(int(k_act))
+                record["n_tokens"].append(int(n_tok))
+                info = "iteration: " + str(i_iter)
+                for k in sorted(record):
+                    info += ", " + k + ": " + str(record[k][-1])
+                logger.info(info)
+                i_iter += 1
         total = time.time() - start
         if record["sample_time"]:
             record["sample_time"][-1] += total - sum(record["sample_time"])
@@ -561,6 +577,88 @@ class BigramAcousticWordseg:
             self._sweep_fn[assignments_only] = self._build_sweep_fn(assignments_only)
         return self._sweep_fn[assignments_only]
 
+    def _get_chunk_fn(self, assignments_only: bool):
+        if getattr(self, "_chunk_fn", None) is None:
+            self._chunk_fn = {}
+        if assignments_only not in self._chunk_fn:
+            self._chunk_fn[assignments_only] = self._build_chunk_fn(
+                assignments_only)
+        return self._chunk_fn[assignments_only]
+
+    def _build_chunk_fn(self, assignments_only: bool):
+        """Fused multi-sweep dispatch with device-side permutations and
+        per-sweep metrics (cf. ``UnigramAcousticWordseg._build_chunk_fn``);
+        the LM state rides in the carry."""
+        from ..ops.stats import num_active
+        from .common import gather_segment_embeds
+
+        block_step = self._make_block_step(
+            self.batch_size, pallas=True, reduce_fn=lambda t: t,
+            assignments_only=assignments_only,
+        )
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        am = self.acoustic_model
+        cov, prior = am.cov, am.prior
+        dtype = am.X.dtype
+        U = utt.D
+        B = self.batch_size
+        n_blocks = -(-U // B)
+        pad = n_blocks * B - U
+        if self._log_prob_z_fn is None:
+            self._log_prob_z_fn = self._build_log_prob_z_fn()
+        lpz_fn = self._log_prob_z_fn
+
+        @jax.jit
+        def chunk(stats, assignments, boundaries, lm_state, key, temps,
+                  assign_temps):
+            def one_sweep(carry, ts):
+                stats, assignments, boundaries, lm_state, key = carry
+                anneal_temp, assign_temp = ts
+                key, k_perm = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, U).astype(jnp.int32)
+                blocks = jnp.concatenate(
+                    [perm, jnp.full((pad,), -1, jnp.int32)]
+                ).reshape(n_blocks, B)
+
+                def f(c, idx_blk):
+                    return block_step(
+                        c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                        anneal_temp, assign_temp,
+                    ), None
+
+                init = (stats, assignments, boundaries, lm_state, key,
+                        jnp.zeros((), dtype))
+                (stats, assignments, boundaries, lm_state, key, lp), _ = (
+                    jax.lax.scan(f, init, blocks)
+                )
+                segs = segments_from_boundaries(boundaries, lengths_all)
+                embeds = gather_segment_embeds(segs, seg_ids_all)
+                ks = jnp.where(
+                    embeds >= 0, assignments[jnp.maximum(embeds, 0)], -1
+                )
+                m = (
+                    lpz_fn(ks),
+                    cov.log_marg(prior, stats),
+                    num_active(stats),
+                    jnp.sum((assignments >= 0).astype(jnp.int32)),
+                )
+                return (stats, assignments, boundaries, lm_state, key), \
+                    (lp, m)
+
+            (stats, assignments, boundaries, lm_state, key), (lps, ms) = (
+                jax.lax.scan(
+                    one_sweep,
+                    (stats, assignments, boundaries, lm_state, key),
+                    (temps, assign_temps),
+                )
+            )
+            return stats, assignments, boundaries, lm_state, key, lps, ms
+
+        return chunk
+
     def _build_log_prob_z_fn(self):
         lam, a, b, K = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         dtype = self.acoustic_model.X.dtype
@@ -667,6 +765,7 @@ class BigramAcousticWordseg:
         n_sentences = self.utterances.D - 1
         lam, a, b, K_lm = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         assert K_lm == K_max
+        cov_type = am.covariance_type
 
         def dp_slice(arr):
             if W_store >= W_dp:
@@ -691,8 +790,8 @@ class BigramAcousticWordseg:
             c = uni_lo_b.astype(X.dtype)
             return lms * (jnp.log(c + a / K_max) - jnp.log(jnp.sum(c) + a))
 
-        pallas_chain_ok = (not full_cov and hasattr(prior, "var")
-                           and pallas)
+        pallas_chain_ok = (not full_cov and pallas
+                           and cov_type in ("fixed", "diag"))
 
         def assignment_chain(lo_b, params_b, uni_lo_b, big_table, big_corr_j,
                              big_corr_i, embeds_b, gumb_b, temp):
@@ -848,7 +947,7 @@ class BigramAcousticWordseg:
                         oh_t, tmask_t, w_b, lo_counts, K=K_max,
                         interpret=jax.default_backend() != "tpu",
                     ).reshape(B, N_max, W_dp)
-                elif post is None and pallas and hasattr(prior, "var"):
+                elif post is None and pallas and cov_type == "fixed":
                     # Fused scoring: the [B, M, K] logits tile never leaves
                     # VMEM (see ops/pallas_score.py); the LM unigram weights
                     # ride in as the mixture-weight vector.
@@ -858,6 +957,17 @@ class BigramAcousticWordseg:
                         Xc, prior_c, params_b.mu_pred, params_b.prec_pred,
                         params_b.log_prod_prec, w_b, lo_counts, K=K_max,
                         interpret=jax.default_backend() != "tpu",
+                    ).reshape(B, N_max, W_dp)
+                elif post is None and pallas and cov_type == "diag":
+                    # Diag fused scoring, LM unigram weights as the
+                    # mixture-weight vector (parity with the unigram driver,
+                    # segmenters/unigram.py).
+                    from ..ops.pallas_score import diag_log_margs
+
+                    log_margs = diag_log_margs(
+                        Xc, prior_c, params_b.mu, params_b.inv_var,
+                        params_b.log_prod_var, params_b.v, w_b, lo_counts,
+                        K=K_max, interpret=jax.default_backend() != "tpu",
                     ).reshape(B, N_max, W_dp)
                 else:
                     if post is None:
@@ -899,24 +1009,49 @@ class BigramAcousticWordseg:
                     params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, -1),
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape(B, S, K_max)
-                onehot_pi = (
-                    jax.nn.one_hot(jnp.maximum(pi, 0), K_max, dtype=X.dtype)
-                    * (pi >= 0).astype(X.dtype)[..., None]
-                )  # [B, S, K]
-                aux = (
-                    jax.vmap(lm_unigram_logw)(uni_lo),
-                    (uni_lo.astype(X.dtype) + a / K_max)
-                    / (jnp.sum(uni_lo, axis=-1, keepdims=True).astype(X.dtype)
-                       + a),
-                    uni_lo, pj, onehot_pi,
-                )
-                new_ks = fullcov_chain(
-                    prior, X, params_g, stats.counts, lo_counts, touched,
-                    new_embeds, G_new, gumbel, log_prior_vec, 0.0, K_max,
-                    lms, assign_temp, use_argmax=False,
-                    weight_fn=bigram_weight_fn(big_table), aux_args=aux,
-                )
-            elif pallas_chain_ok:
+                if pallas:
+                    # Bigram-conditioned full-NIW touched-slot chain as a
+                    # Pallas kernel (parity with the unigram driver's
+                    # fullcov_chain_pallas path).
+                    from ..ops.pallas_chain import fullcov_chain_pallas
+                    from .fullcov import pallas_chain_inputs
+
+                    (scnt0, tm0, tiP0, tld0, tk0, g_m, g_iP, g_ld) = (
+                        pallas_chain_inputs(prior, params_g, stats.counts,
+                                            touched)
+                    )
+                    new_ks = fullcov_chain_pallas(
+                        new_embeds, X[jnp.maximum(new_embeds, 0)],
+                        log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                        G_new, lo_counts, scnt0, tm0, tiP0, tld0, tk0,
+                        g_m, g_iP, g_ld, float(prior.k_0),
+                        float(prior.v_0), assign_temp,
+                        alpha=0.0, K=K_max, lms=lms, use_argmax=False,
+                        interpret=jax.default_backend() != "tpu",
+                        uni_lo=uni_lo, big_table=big_table,
+                        corr_j=pj, corr_i=pi,
+                        lm_params=(float(a), float(lam), float(b)),
+                    )
+                else:
+                    onehot_pi = (
+                        jax.nn.one_hot(jnp.maximum(pi, 0), K_max,
+                                       dtype=X.dtype)
+                        * (pi >= 0).astype(X.dtype)[..., None]
+                    )  # [B, S, K]
+                    aux = (
+                        jax.vmap(lm_unigram_logw)(uni_lo),
+                        (uni_lo.astype(X.dtype) + a / K_max)
+                        / (jnp.sum(uni_lo, axis=-1,
+                                   keepdims=True).astype(X.dtype) + a),
+                        uni_lo, pj, onehot_pi,
+                    )
+                    new_ks = fullcov_chain(
+                        prior, X, params_g, stats.counts, lo_counts, touched,
+                        new_embeds, G_new, gumbel, log_prior_vec, 0.0, K_max,
+                        lms, assign_temp, use_argmax=False,
+                        weight_fn=bigram_weight_fn(big_table), aux_args=aux,
+                    )
+            elif pallas_chain_ok and cov_type == "fixed":
                 from ..ops.pallas_chain import bigram_fixedvar_chain
 
                 new_ks = bigram_fixedvar_chain(
@@ -928,6 +1063,36 @@ class BigramAcousticWordseg:
                     alpha_a=a, intrp_lambda=lam, b_smooth=b,
                     K=K_max, lms=lms,
                     interpret=jax.default_backend() != "tpu",
+                )
+            elif pallas_chain_ok and cov_type == "diag":
+                from ..ops.pallas_chain import bigram_diag_chain
+
+                new_ks = bigram_diag_chain(
+                    new_embeds, X[jnp.maximum(new_embeds, 0)],
+                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    lo.counts, lo.sum_x, lo.sum_sq,
+                    prior.m_0, float(prior.k_0), float(prior.v_0),
+                    prior.S_0, assign_temp,
+                    uni_lo, big_table, pj, pi,
+                    alpha_a=a, intrp_lambda=lam, b_smooth=b,
+                    K=K_max, lms=lms,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            elif cov_type == "diag":
+                # Non-pallas diag (GSPMD mesh): the XLA twin with the
+                # kernel's Stirling-lgamma composition (bit-identical
+                # chains; CLAUDE.md invariant).
+                from ..ops.pallas_chain import bigram_diag_chain_xla
+
+                new_ks = bigram_diag_chain_xla(
+                    new_embeds, X[jnp.maximum(new_embeds, 0)],
+                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    lo.counts, lo.sum_x, lo.sum_sq,
+                    prior.m_0, float(prior.k_0), float(prior.v_0),
+                    prior.S_0, assign_temp,
+                    uni_lo, big_table, pj, pi,
+                    alpha_a=a, intrp_lambda=lam, b_smooth=b,
+                    K=K_max, lms=lms,
                 )
             else:
                 new_ks = jax.vmap(

@@ -26,9 +26,18 @@ from ..corpus import Utterances
 from ..models.kmeans import (
     KMeans,
     KMeansState,
+    kmeans_state_from_assignments,
     means_from_state,
     neg_sqrd_norms,
 )
+
+# The sweep maintains counts/sum_x by additive per-block deltas (see
+# ``_make_block_step``); f32 rounding drift vs a from-scratch rebuild is
+# unbounded over arbitrarily long runs (measured ~1e-5 relative after a
+# 500-sweep soak, PERFORMANCE.md).  An exact rebuild from the assignment
+# vector every _RESYNC_EVERY sweeps bounds the drift at negligible cost
+# (two segment-sums over the corpus, ~0.6 ms at benchmark scale).
+_RESYNC_EVERY = 128
 from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF
 from .common import (
@@ -130,6 +139,7 @@ class SegmentalKMeansWordseg:
         self._rng = np.random.RandomState(seed)
         self._key = jax.random.PRNGKey(seed)
         self._sweep_fn = None
+        self._sweeps_since_resync = 0
 
     # ------------------------------------------------------------------ API
 
@@ -191,16 +201,43 @@ class SegmentalKMeansWordseg:
             "sum_neg_sqrd_norm", "sum_neg_len_sqrd_norm", "components",
             "sample_time", "n_tokens")}
         # Asynchronous record loop (one batched fetch at the end) unless
-        # in-between k-means iterations force a sync each sweep.
+        # in-between k-means iterations force a sync each sweep.  Full
+        # _WORDSEG_CHUNK-sized runs fuse into one dispatch with device-side
+        # permutations (see segmenters/unigram.py); chunk entries'
+        # sample_time is the chunk average.
+        from .unigram import _WORDSEG_CHUNK
+
+        use_chunks = (
+            n_iter_inbetween_kmeans == 0 and monitor_i is None
+            and not validate and getattr(self, "_mesh", None) is None
+            and not getattr(self, "_shard_map_mode", False)
+        )
         pending = []
         pending_monitor = []
         pending_validate = []
         start = time.time()
-        for i_iter in range(n_iter):
+        i_iter = 0
+        while i_iter < n_iter:
+            if use_chunks and n_iter - i_iter >= _WORDSEG_CHUNK:
+                chunk = self._get_chunk_fn()
+                am = self.acoustic_model
+                self._key, sub = jax.random.split(self._key)
+                am.state, self._boundaries_dev, objs, ms = chunk(
+                    am.state, am.random_means, self._boundaries_dev, sub,
+                )
+                self._sweeps_since_resync += _WORDSEG_CHUNK
+                if self._sweeps_since_resync >= _RESYNC_EVERY:
+                    self._resync_stats()
+                pending.append((time.time(), _WORDSEG_CHUNK, objs, ms))
+                i_iter += _WORDSEG_CHUNK
+                continue
             order = self._rng.permutation(self.utterances.D)
             blocks = pad_utterance_order(order, self.batch_size)
             obj_dev = self._run_blocks_async(blocks)
-            pending.append((time.time(), obj_dev,
+            self._sweeps_since_resync += 1
+            if self._sweeps_since_resync >= _RESYNC_EVERY:
+                self._resync_stats()
+            pending.append((time.time(), 1, obj_dev,
                             self.acoustic_model.sweep_metrics_device()))
             if monitor_i is not None:
                 pending_monitor.append(self._monitor_device(int(monitor_i)))
@@ -210,27 +247,34 @@ class SegmentalKMeansWordseg:
                 self.acoustic_model.fit(
                     n_iter_inbetween_kmeans, consider_unassigned=False
                 )
+            i_iter += 1
         if monitor_i is not None:
             dbg.log_monitor(logger, int(monitor_i),
                             jax.device_get(pending_monitor))
         if validate:
             dbg.check_validation(jax.device_get(pending_validate),
                                  dbg.KMEANS_CHECKS)
-        fetched = jax.device_get([(o, m) for _, o, m in pending])
+        fetched = jax.device_get([(o, m) for _, _, o, m in pending])
         prev_t = start
-        for i_iter, ((t_disp, _, _), (obj, (snn, k_act, n_tok))) in enumerate(
-            zip(pending, fetched)
-        ):
-            record["sample_time"].append(t_disp - prev_t)
+        i_iter = 0
+        for (t_disp, n, _, _), (obj, m_fetched) in zip(pending, fetched):
+            dt = (t_disp - prev_t) / n
             prev_t = t_disp
-            record["sum_neg_sqrd_norm"].append(float(snn))
-            record["sum_neg_len_sqrd_norm"].append(float(obj))
-            record["components"].append(int(k_act))
-            record["n_tokens"].append(int(n_tok))
-            info = "iteration: " + str(i_iter)
-            for k in sorted(record):
-                info += ", " + k + ": " + str(record[k][-1])
-            logger.info(info)
+            for j in range(n):
+                snn, k_act, n_tok = (
+                    jax.tree.map(lambda a: a[j], m_fetched)
+                    if n > 1 else m_fetched)
+                obj_j = obj[j] if n > 1 else obj
+                record["sample_time"].append(dt)
+                record["sum_neg_sqrd_norm"].append(float(snn))
+                record["sum_neg_len_sqrd_norm"].append(float(obj_j))
+                record["components"].append(int(k_act))
+                record["n_tokens"].append(int(n_tok))
+                info = "iteration: " + str(i_iter)
+                for k in sorted(record):
+                    info += ", " + k + ": " + str(record[k][-1])
+                logger.info(info)
+                i_iter += 1
         total = time.time() - start
         if record["sample_time"]:
             record["sample_time"][-1] += total - sum(record["sample_time"])
@@ -240,6 +284,25 @@ class SegmentalKMeansWordseg:
 
     def _sync_boundaries_to_host(self):
         self.utterances.set_boundaries_from_device(self._boundaries_dev)
+
+    def _resync_stats(self):
+        """Exact counts/sum_x rebuild from the assignment vector, bounding
+        the delta-update drift (enqueued async; no host sync).  A pure
+        function of the replicated state, so it is valid in both the
+        single-device and the shard_map sweeps."""
+        if getattr(self, "_resync_fn", None) is None:
+            am = self.acoustic_model
+            X, K_max = am.X, am.K_max
+
+            @jax.jit
+            def resync(state):
+                return kmeans_state_from_assignments(
+                    X, state.assignments, K_max
+                )
+
+            self._resync_fn = resync
+        self.acoustic_model.state = self._resync_fn(self.acoustic_model.state)
+        self._sweeps_since_resync = 0
 
     def _monitor_device(self, i: int):
         """Enqueue (candidate neg-length-scaled distances, boundaries,
@@ -326,6 +389,67 @@ class SegmentalKMeansWordseg:
         if self._sweep_fn is None:
             self._sweep_fn = self._build_sweep_fn()
         return self._sweep_fn
+
+    def _get_chunk_fn(self):
+        if getattr(self, "_chunk_fn", None) is None:
+            self._chunk_fn = self._build_chunk_fn()
+        return self._chunk_fn
+
+    def _build_chunk_fn(self):
+        """Fused multi-sweep dispatch with device-side permutations and
+        per-sweep metrics (cf. ``UnigramAcousticWordseg._build_chunk_fn``)."""
+        from ..models.kmeans import sum_neg_sqrd_norm
+        from .unigram import _WORDSEG_CHUNK
+
+        block_step = self._make_block_step(
+            self.batch_size, pallas=True, reduce_fn=lambda t: t
+        )
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        am = self.acoustic_model
+        X = am.X
+        dtype = X.dtype
+        U = utt.D
+        B = self.batch_size
+        n_blocks = -(-U // B)
+        pad = n_blocks * B - U
+
+        @jax.jit
+        def chunk(state, random_means, boundaries, key):
+            def one_sweep(carry, _):
+                state, boundaries, key = carry
+                key, k_perm = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, U).astype(jnp.int32)
+                blocks = jnp.concatenate(
+                    [perm, jnp.full((pad,), -1, jnp.int32)]
+                ).reshape(n_blocks, B)
+
+                def f(c, idx_blk):
+                    return block_step(
+                        c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                        random_means,
+                    ), None
+
+                init = (state, boundaries, key, jnp.zeros((), dtype))
+                (state, boundaries, key, obj), _ = jax.lax.scan(
+                    f, init, blocks
+                )
+                m = (
+                    sum_neg_sqrd_norm(X, state, random_means),
+                    jnp.sum((state.counts > 0).astype(jnp.int32)),
+                    jnp.sum((state.assignments >= 0).astype(jnp.int32)),
+                )
+                return (state, boundaries, key), (obj, m)
+
+            (state, boundaries, key), (objs, ms) = jax.lax.scan(
+                one_sweep, (state, boundaries, key),
+                None, length=_WORDSEG_CHUNK,
+            )
+            return state, boundaries, objs, ms
+
+        return chunk
 
     def _make_block_step(self, B: int, pallas: bool, reduce_fn):
         """Per-block segmental k-means update, shared by the single-device

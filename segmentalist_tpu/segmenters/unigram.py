@@ -44,6 +44,14 @@ from .common import (
 
 logger = logging.getLogger(__name__)
 
+# Sweeps fused per device dispatch in ``gibbs_sample`` (a lax.scan over
+# per-sweep temperatures, with the utterance permutation drawn ON DEVICE
+# under the carried PRNG key).  On a remote-attached TPU every dispatch
+# costs ~1 ms of round-trip latency -- ~10% of a flagship sweep -- so
+# fusing 8 sweeps amortises it to ~1%.  A fixed chunk length keeps the jit
+# cache to two entries (chunk + single-sweep remainder).
+_WORDSEG_CHUNK = 8
+
 
 def process_embeddings(embedding_mats, vec_ids_dict):
     """Flatten per-utterance embedding matrices into one [N, D] matrix and
@@ -175,29 +183,12 @@ class UnigramAcousticWordseg:
         assignments = -1 * np.ones(N, dtype=int)
         if seed_assignments_dict is not None:
             logger.info("Using seed assignments")
-            self.seed_to_cluster = {}
-            i_cluster = 0
-            for i_utt, utt in enumerate(ids_to_utterance_labels):
-                utt_init_embeds = np.array(
-                    self.utterances.get_segmented_embeds_i(i_utt), dtype=int
-                )
-                utt_init_assignments = np.array(seed_assignments_dict[utt][:])
-                utt_init_assignments = utt_init_assignments[utt_init_embeds != -1]
-                utt_init_embeds = utt_init_embeds[utt_init_embeds != -1]
-                for s in utt_init_assignments:
-                    if s not in self.seed_to_cluster:
-                        if isinstance(s, (int, np.integer)):
-                            self.seed_to_cluster[s] = int(s)
-                        else:
-                            self.seed_to_cluster[s] = i_cluster
-                            i_cluster += 1
-                assignments[utt_init_embeds] = [
-                    self.seed_to_cluster[s] for s in utt_init_assignments
-                ]
-            if am_K is None:
-                am_K = max(self.seed_to_cluster.values()) + 1
-            else:
-                assert am_K >= max(self.seed_to_cluster.values()) + 1
+            from .common import seed_assignments_to_vector
+
+            self.seed_to_cluster, am_K = seed_assignments_to_vector(
+                self.utterances, ids_to_utterance_labels,
+                seed_assignments_dict, assignments, am_K,
+            )
             self.acoustic_model = FBGMM(
                 embeddings, am_param_prior, am_alpha, am_K, assignments,
                 covariance_type=covariance_type, lms=lms, key=key,
@@ -240,6 +231,7 @@ class UnigramAcousticWordseg:
         else:
             raise ValueError("invalid `fb_type`: " + fb_type)
         self._sweep_fn = None
+        self._chunk_fn = None
 
     def calc_p_continue(self) -> float:
         """Sentence-continue probability under the symmetric Beta prior
@@ -336,12 +328,35 @@ class UnigramAcousticWordseg:
 
         # Fully asynchronous loop: every sweep and its metrics are enqueued
         # without a host sync (a sync costs a full RPC round-trip on a
-        # remote-attached TPU); everything is fetched in one batch at the end.
-        pending = []
+        # remote-attached TPU); everything is fetched in one batch at the
+        # end.  When no per-sweep host work is requested, full
+        # _WORDSEG_CHUNK-sized runs are fused into ONE dispatch (device-side
+        # utterance permutations + a lax.scan over sweeps): chunk entries'
+        # sample_time is the chunk wall time divided evenly across its
+        # sweeps (cf. FBGMM.gibbs_sample).
+        use_chunks = (
+            am_n_iter == 0 and monitor_i is None and not validate
+            and getattr(self, "_mesh", None) is None
+            and not getattr(self, "_shard_map_mode", False)
+        )
+        pending = []  # (t_dispatched, n_sweeps, temps, log_prob dev, metrics dev)
         pending_monitor = []
         pending_validate = []
         start = time.time()
-        for i_iter in range(n_iter):
+        i_iter = 0
+        while i_iter < n_iter:
+            if use_chunks and n_iter - i_iter >= _WORDSEG_CHUNK:
+                chunk = self._get_chunk_fn()
+                am = self.acoustic_model
+                ts = np.asarray(temps[i_iter:i_iter + _WORDSEG_CHUNK],
+                                dtype=am.X.dtype)
+                ats = ts if anneal_gibbs_am else np.ones_like(ts)
+                (am.stats, am.assignments, self._boundaries_dev, am.key,
+                 lps, ms) = chunk(am.stats, am.assignments,
+                                  self._boundaries_dev, am.key, ts, ats)
+                pending.append((time.time(), _WORDSEG_CHUNK, ts, lps, ms))
+                i_iter += _WORDSEG_CHUNK
+                continue
             if am_n_iter > 0:
                 self.acoustic_model.gibbs_sample(
                     am_n_iter, consider_unassigned=False
@@ -351,11 +366,12 @@ class UnigramAcousticWordseg:
             blocks = pad_utterance_order(order, self.batch_size)
             log_prob_dev = self._run_blocks_async(blocks, temp, anneal_gibbs_am)
             metrics_dev = self.acoustic_model.sweep_metrics_device()
-            pending.append((time.time(), temp, log_prob_dev, metrics_dev))
+            pending.append((time.time(), 1, [temp], log_prob_dev, metrics_dev))
             if monitor_i is not None:
                 pending_monitor.append(self._monitor_device(int(monitor_i)))
             if validate:
                 pending_validate.append(self._validate_device())
+            i_iter += 1
 
         if monitor_i is not None:
             dbg.log_monitor(logger, int(monitor_i),
@@ -363,25 +379,32 @@ class UnigramAcousticWordseg:
         if validate:
             dbg.check_validation(jax.device_get(pending_validate),
                                  dbg.FBGMM_CHECKS)
-        fetched = jax.device_get([(lp, m) for _, _, lp, m in pending])
+        fetched = jax.device_get([(lp, m) for _, _, _, lp, m in pending])
         prev_t = start
-        for i_iter, ((t_disp, temp, _, _), (log_prob, m_tuple)) in enumerate(
-            zip(pending, fetched)
+        i_iter = 0
+        for (t_disp, n, ts, _, _), (log_prob, m_fetched) in zip(
+            pending, fetched
         ):
-            m = self.acoustic_model.metrics_to_dict(m_tuple)
-            record["sample_time"].append(t_disp - prev_t)
+            dt = (t_disp - prev_t) / n
             prev_t = t_disp
-            record["log_marg"].append(m["log_marg"])
-            record["log_marg*length"].append(float(log_prob))
-            record["log_prob_z"].append(m["log_prob_z"])
-            record["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
-            record["anneal_temp"].append(temp)
-            record["components"].append(m["components"])
-            record["n_tokens"].append(m["n_assigned"])
-            info = "iteration: " + str(i_iter)
-            for k in sorted(record):
-                info += ", " + k + ": " + str(record[k][-1])
-            logger.info(info)
+            for j in range(n):
+                m_tuple = (jax.tree.map(lambda a: a[j], m_fetched)
+                           if n > 1 else m_fetched)
+                lp_j = log_prob[j] if n > 1 else log_prob
+                m = self.acoustic_model.metrics_to_dict(m_tuple)
+                record["sample_time"].append(dt)
+                record["log_marg"].append(m["log_marg"])
+                record["log_marg*length"].append(float(lp_j))
+                record["log_prob_z"].append(m["log_prob_z"])
+                record["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
+                record["anneal_temp"].append(float(ts[j]))
+                record["components"].append(m["components"])
+                record["n_tokens"].append(m["n_assigned"])
+                info = "iteration: " + str(i_iter)
+                for k in sorted(record):
+                    info += ", " + k + ": " + str(record[k][-1])
+                logger.info(info)
+                i_iter += 1
         # Dispatch-side timestamps under-measure when the device runs behind;
         # fold the total wall time into the last entry so the sum is honest.
         total = time.time() - start
@@ -623,6 +646,20 @@ class UnigramAcousticWordseg:
                     use_argmax=viterbi_assign,
                     interpret=jax.default_backend() != "tpu",
                 )
+            if cov_type == "diag":
+                # Non-pallas diag (GSPMD mesh): the XLA twin with the
+                # kernel's Stirling-lgamma composition, so the chain is
+                # bit-identical to the Pallas path (CLAUDE.md invariant).
+                from ..ops.pallas_chain import diag_chain_xla
+
+                return diag_chain_xla(
+                    new_embeds, X[jnp.maximum(new_embeds, 0)],
+                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    lo.counts, lo.sum_x, lo.sum_sq,
+                    prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
+                    temp, alpha=alpha, K=K_max, lms=lms_eff,
+                    use_argmax=viterbi_assign,
+                )
             return jax.vmap(
                 lambda lo_b, p_b, e_b, g_b: assignment_chain(
                     lo_b, p_b, e_b, g_b, temp
@@ -844,6 +881,75 @@ class UnigramAcousticWordseg:
             return (stats, assignments, boundaries, key, lp_total)
 
         return block_step
+
+    def _get_chunk_fn(self):
+        if getattr(self, "_chunk_fn", None) is None:
+            self._chunk_fn = self._build_chunk_fn()
+        return self._chunk_fn
+
+    def _build_chunk_fn(self):
+        """_WORDSEG_CHUNK sweeps + their per-sweep metrics as ONE jitted
+        scan.  The per-sweep utterance permutation is drawn ON DEVICE from
+        the carried PRNG key (``jax.random.permutation``) instead of the
+        host numpy RNG -- identical in distribution, and it removes the
+        per-sweep host round-trip (the reference shuffles on the host,
+        unigram_acoustic_wordseg.py:449-450)."""
+        from ..models.fbgmm import log_prob_z_dirichlet
+        from ..ops.stats import num_active
+
+        block_step = self._make_block_step(
+            self.batch_size, pallas=True, reduce_fn=lambda t: t
+        )
+        utt = self.utterances
+        seg_ids_all = utt.seg_ids
+        seg_durs_all = utt.seg_durations
+        lengths_all = utt.lengths_dev
+        am = self.acoustic_model
+        cov, prior, alpha, K_max = am.cov, am.prior, am.alpha, am.K_max
+        dtype = am.X.dtype
+        U = utt.D
+        B = self.batch_size
+        n_blocks = -(-U // B)
+        pad = n_blocks * B - U
+
+        @jax.jit
+        def chunk(stats, assignments, boundaries, key, temps, assign_temps):
+            def one_sweep(carry, ts):
+                stats, assignments, boundaries, key = carry
+                anneal_temp, assign_temp = ts
+                key, k_perm = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, U).astype(jnp.int32)
+                blocks = jnp.concatenate(
+                    [perm, jnp.full((pad,), -1, jnp.int32)]
+                ).reshape(n_blocks, B)
+
+                def f(c, idx_blk):
+                    return block_step(
+                        c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
+                        anneal_temp, assign_temp,
+                    ), None
+
+                init = (stats, assignments, boundaries, key,
+                        jnp.zeros((), dtype))
+                (stats, assignments, boundaries, key, lp), _ = jax.lax.scan(
+                    f, init, blocks
+                )
+                m = (
+                    log_prob_z_dirichlet(stats.counts, alpha, K_max),
+                    cov.log_marg(prior, stats),
+                    num_active(stats),
+                    jnp.sum((assignments >= 0).astype(jnp.int32)),
+                    jnp.sum(stats.counts),
+                )
+                return (stats, assignments, boundaries, key), (lp, m)
+
+            (stats, assignments, boundaries, key), (lps, ms) = jax.lax.scan(
+                one_sweep, (stats, assignments, boundaries, key),
+                (temps, assign_temps),
+            )
+            return stats, assignments, boundaries, key, lps, ms
+
+        return chunk
 
     def _build_sweep_fn(self):
         # Under a GSPMD mesh the XLA paths are used: GSPMD cannot partition
