@@ -425,9 +425,15 @@ def run_2d_fbgmm():
     # single-sweep remainder) so the timed run is compile-free.
     model.gibbs_sample(_SWEEP_CHUNK + 1, mode="blocked")
     log("  warmup (incl. compile): %.1fs" % (time.time() - t0))
+    # A chunk multiple, and enough sweeps to amortise the constant
+    # end-of-run record fetch (~30 ms RPC on the remote-attached chip --
+    # it dominated a 100-sweep run and misread as per-sweep cost; the
+    # measured in-chunk device cost is ~75 us/sweep,
+    # benchmarks/toy_breakdown.py).
+    n = 100 * _SWEEP_CHUNK
     t0 = time.time()
-    model.gibbs_sample(100, mode="blocked")
-    return (time.time() - t0) / 100.0
+    model.gibbs_sample(n, mode="blocked")
+    return (time.time() - t0) / n
 
 
 def fixed_prior_2d():
@@ -522,9 +528,10 @@ def main():
         round(1.0 / ref_2d_emul, 2))
     configs["clustering_2d"]["note"] = (
         "vs the reference's own in-repo measured 13 ms/sweep "
-        "(clustering_examples.ipynb); at N=100, K=4 the TPU per-sweep cost "
-        "is the dispatch latency floor, so no large speedup exists for "
-        "this toy config"
+        "(clustering_examples.ipynb); N=100, K=4 leaves the TPU nothing to "
+        "parallelise, so the per-sweep cost is per-sweep kernel overhead "
+        "inside the fused 16-sweep chunks -- measured breakdown: 2 us loop "
+        "floor + ~73 us sweep kernels (benchmarks/toy_breakdown.py)"
     )
 
     evals_per_sec = n_cand * K_COMPONENTS / dt_fixed

@@ -395,6 +395,7 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
             row = jax.lax.dot_general(
                 oh_j[:, 0, :], big_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )[:, None, :]  # [B_t, 1, K_pad]
             sel = (cj_ref[:] == j_s).astype(dtype)  # [B_t, 1, S]
             corr = jnp.sum(
@@ -1036,6 +1037,7 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
             row = jax.lax.dot_general(
                 oh_j[:, 0, :], big_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )[:, None, :]
             sel = (cj_ref[:] == j_s).astype(dtype)  # [B_t, 1, S]
             corr = jnp.sum(
@@ -1373,6 +1375,7 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
                 row = jax.lax.dot_general(
                     oh_j[:, 0, :], big_ref[:], (((1,), (0,)), ((), ())),
                     preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST,
                 )[:, None, :]
                 sel = (cj_ref[:] == j_s).astype(dtype)    # [B_t, S, 1]
                 corr_lm = jnp.sum(ohpi_ref[:] * sel, axis=1, keepdims=True)
@@ -1425,14 +1428,20 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
             # (untouched leave-out == global), pulled with one-hot MXU
             # lookups.  All the update algebra then runs on [B_t, 1, .]
             # rows; the tables see exactly one masked write pass each.
+            # HIGHEST: a one-hot row pull is then exact; Mosaic's default
+            # bf16 pass quantized the pulled float factors (~1e-2 rel),
+            # which is what made claimed-slot chains diverge from the XLA
+            # twin on hardware.
             oh_k2 = oh_k[:, 0, :]                         # [B_t, K_pad]
             gm_row = jax.lax.dot_general(
                 oh_k2, g_m_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )[:, None, :]                                 # [B_t, 1, D]
             giP_row = jax.lax.dot_general(
                 oh_k2, g_invP_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )[:, None, :]                                 # [B_t, 1, DD]
             gld_row = jnp.sum(oh_k * g_ld_ref[:], axis=2, keepdims=True)
             cnt_row = jnp.sum(oh_k * counts_f, axis=2, keepdims=True)

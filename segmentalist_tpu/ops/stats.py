@@ -48,6 +48,21 @@ def suff_stats_from_assignments(
     routed to scatter slot ``K_max`` which is dropped.
     """
     seg = jnp.where(assignments < 0, K_max, assignments)
+    if X.shape[0] * K_max <= (1 << 20):
+        # Small problems (the 2-D toy's blocked sweep rebuilds stats every
+        # sweep): TPU scatter-adds serialize ~35 us each, while the one-hot
+        # contraction is one trivial MXU matmul.  Gated by the one-hot's
+        # memory footprint; the pad column (seg == K_max) is all-zero.
+        oh = (seg[:, None] == jnp.arange(K_max, dtype=seg.dtype)[None, :])
+        ohf = oh.astype(X.dtype)
+        counts = jnp.sum(oh.astype(jnp.int32), axis=0)
+        hi = jax.lax.Precision.HIGHEST
+        sum_x = jnp.matmul(ohf.T, X, precision=hi)
+        sq = item_sq(X, full_cov)
+        sum_sq = jnp.matmul(
+            ohf.T, sq.reshape(sq.shape[0], -1), precision=hi
+        ).reshape((K_max,) + sq.shape[1:])
+        return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
     ones = jnp.ones(X.shape[0], dtype=jnp.int32)
     counts = jax.ops.segment_sum(ones, seg, num_segments=K_max + 1)[:-1]
     sum_x = jax.ops.segment_sum(X, seg, num_segments=K_max + 1)[:-1]

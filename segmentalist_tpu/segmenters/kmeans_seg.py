@@ -186,15 +186,22 @@ class SegmentalKMeansWordseg:
         return self._run_blocks(order.reshape(1, -1))
 
     def segment(self, n_iter: int, n_iter_inbetween_kmeans: int = 0,
-                monitor_i=None, validate: bool = False) -> dict:
+                monitor_i=None, validate: bool = False,
+                segment_debug_only: bool = False) -> dict:
         """Segment all utterances, optionally interleaving k-means iterations
         (reference ``segment``, kmeans_acoustic_wordseg.py:353-425).
 
         ``monitor_i`` / ``validate``: per-sweep deep trace of one utterance
         and opt-in invariant checks (the reference's ``i_debug_monitor`` /
-        ``segment_debug_only``, kmeans_acoustic_wordseg.py:19-20; see
-        ``utils/debug.py``)."""
+        NaN asserts; see ``utils/debug.py``).  ``segment_debug_only``:
+        segment ONLY the monitored utterance each sweep (the reference's
+        standing flag, kmeans_acoustic_wordseg.py:20; requires
+        ``monitor_i``)."""
         from ..utils import debug as dbg
+
+        if segment_debug_only:
+            assert monitor_i is not None, \
+                "segment_debug_only requires monitor_i"
 
         logger.info("Segmenting for " + str(n_iter) + " iterations")
         record = {k: [] for k in (
@@ -231,7 +238,10 @@ class SegmentalKMeansWordseg:
                 pending.append((time.time(), _WORDSEG_CHUNK, objs, ms))
                 i_iter += _WORDSEG_CHUNK
                 continue
-            order = self._rng.permutation(self.utterances.D)
+            if segment_debug_only:
+                order = np.asarray([int(monitor_i)], dtype=np.int64)
+            else:
+                order = self._rng.permutation(self.utterances.D)
             blocks = pad_utterance_order(order, self.batch_size)
             obj_dev = self._run_blocks_async(blocks)
             self._sweeps_since_resync += 1

@@ -302,7 +302,8 @@ class UnigramAcousticWordseg:
                      anneal_schedule=None, anneal_start_temp_inv: float = 0.1,
                      anneal_end_temp_inv: float = 1.0, n_anneal_steps: int = -1,
                      anneal_gibbs_am: bool = False, monitor_i=None,
-                     validate: bool = False) -> dict:
+                     validate: bool = False,
+                     debug_gibbs_only: bool = False) -> dict:
         """Blocked Gibbs sampling over all utterances
         (reference ``gibbs_sample``, unigram_acoustic_wordseg.py:362-472).
 
@@ -310,10 +311,13 @@ class UnigramAcousticWordseg:
         and opt-in sampler-invariant checks (the reference's
         ``i_debug_monitor`` / NaN asserts; see ``utils/debug.py``).  Both
         are enqueued on device and fetched in the same end-of-run batch, so
-        the loop stays sync-free.  (The reference's ``debug_gibbs_only``
-        mode -- sampling only the monitored utterance -- is
-        ``gibbs_sample_i(monitor_i)``.)
+        the loop stays sync-free.  ``debug_gibbs_only``: sample ONLY the
+        monitored utterance each sweep (the reference's standing flag,
+        unigram_acoustic_wordseg.py:20, :451-452; requires ``monitor_i``).
         """
+        if debug_gibbs_only:
+            assert monitor_i is not None, \
+                "debug_gibbs_only requires monitor_i"
         from ..utils.annealing import anneal_temperatures
         from ..utils import debug as dbg
 
@@ -362,7 +366,10 @@ class UnigramAcousticWordseg:
                     am_n_iter, consider_unassigned=False
                 )
             temp = float(temps[i_iter])
-            order = self._rng.permutation(self.utterances.D)
+            if debug_gibbs_only:
+                order = np.asarray([int(monitor_i)], dtype=np.int64)
+            else:
+                order = self._rng.permutation(self.utterances.D)
             blocks = pad_utterance_order(order, self.batch_size)
             log_prob_dev = self._run_blocks_async(blocks, temp, anneal_gibbs_am)
             metrics_dev = self.acoustic_model.sweep_metrics_device()

@@ -76,6 +76,23 @@ def test_monitor_and_validate(family, caplog):
     assert any("transcript" in m for m in msgs)
 
 
+def test_debug_only_flags_touch_one_utterance():
+    """debug_gibbs_only / segment_debug_only resample ONLY the monitored
+    utterance (reference standing flags, unigram_acoustic_wordseg.py:20,
+    kmeans_acoustic_wordseg.py:20): every other utterance's boundaries and
+    assignments are untouched."""
+    for family, build in (("unigram", _unigram), ("kmeans", _kmeans)):
+        seg = build()
+        bounds0 = np.asarray(seg._boundaries_dev).copy()
+        if family == "kmeans":
+            seg.segment(2, monitor_i=1, segment_debug_only=True)
+        else:
+            seg.gibbs_sample(2, monitor_i=1, debug_gibbs_only=True)
+        bounds1 = np.asarray(seg._boundaries_dev)
+        others = [i for i in range(seg.utterances.D) if i != 1]
+        npt.assert_array_equal(bounds1[others], bounds0[others])
+
+
 def test_validate_raises_on_poisoned_state():
     seg = _unigram(seed=12)
     am = seg.acoustic_model
