@@ -45,6 +45,10 @@ def run(name, build, sample):
     seg = build(em, vi, du, lm)
     t0 = time.time()
     sample(seg, 1)
+    # Warm the fused multi-sweep chunk too (separate jit program).
+    from segmentalist_tpu.segmenters.unigram import _WORDSEG_CHUNK
+
+    sample(seg, _WORDSEG_CHUNK)
     compile_s = time.time() - t0
     t0 = time.time()
     rec = sample(seg, SWEEPS)
@@ -127,6 +131,37 @@ def main():
     run("unigram FBGMM (diag)", build_diag,
         lambda s, n: s.gibbs_sample(n))
     run("unigram FBGMM (full NIW)", build_full,
+        lambda s, n: s.gibbs_sample(n))
+
+    # Bigram driver, non-fixed covariance backends (round-3 kernel
+    # coverage parity with the unigram driver: diag fused scoring +
+    # bigram diag chain kernel; bigram-LM full-NIW chain kernel).
+    def build_bi_cov(cov_type):
+        from segmentalist_tpu.priors import NIW
+
+        if cov_type == "diag":
+            p = NIW.create(np.zeros(D, np.float32), 0.05, float(D) + 3.0,
+                           0.05 * np.ones(D, dtype=np.float32))
+        else:
+            p = NIW.create(np.zeros(D, np.float32), 0.05, float(D) + 3.0,
+                           0.05 * np.eye(D, dtype=np.float32))
+
+        def build(em, vi, du, lm):
+            np.random.seed(0)
+            return BigramAcousticWordseg(
+                am_K=K, am_param_prior=p,
+                lm_params={"type": "smooth", "intrp_lambda": 0.1, "a": 1.0,
+                           "b": 1.0},
+                embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+                landmarks_dict=lm, covariance_type=cov_type,
+                p_boundary_init=0.5, beta_sent_boundary=-1, n_slices_max=W,
+                fb_type="unigram", batch_size=B, seed=0)
+
+        return build
+
+    run("bigram FBGMM (diag)", build_bi_cov("diag"),
+        lambda s, n: s.gibbs_sample(n))
+    run("bigram FBGMM (full NIW)", build_bi_cov("full"),
         lambda s, n: s.gibbs_sample(n))
 
 
