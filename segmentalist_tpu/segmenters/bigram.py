@@ -577,6 +577,22 @@ class BigramAcousticWordseg:
             self._sweep_fn[assignments_only] = self._build_sweep_fn(assignments_only)
         return self._sweep_fn[assignments_only]
 
+    def _cand_tables(self):
+        """See ``UnigramAcousticWordseg._cand_tables``."""
+        am = self.acoustic_model
+        utt = self.utterances
+        N_max, W_store = utt.N_max, utt.W
+        W_dp = (min(self.n_slices_max, N_max)
+                if self.n_slices_max > 0 else N_max)
+        seg = utt.seg_ids
+        if W_store >= W_dp:
+            seg = seg[..., :W_dp]
+        else:
+            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
+                          constant_values=-1)
+        ids = jnp.maximum(seg, 0)
+        return am.X[ids], am.log_prior_vec[ids]
+
     def _get_chunk_fn(self, assignments_only: bool):
         if getattr(self, "_chunk_fn", None) is None:
             self._chunk_fn = {}
@@ -600,6 +616,7 @@ class BigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
+        cand_X_all, cand_lp_all = self._cand_tables()
         am = self.acoustic_model
         cov, prior = am.cov, am.prior
         dtype = am.X.dtype
@@ -627,6 +644,7 @@ class BigramAcousticWordseg:
                     return block_step(
                         c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                         anneal_temp, assign_temp,
+                        cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
                     ), None
 
                 init = (stats, assignments, boundaries, lm_state, key,
@@ -881,7 +899,8 @@ class BigramAcousticWordseg:
             return weight_fn
 
         def block_step(carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
-                       anneal_temp, assign_temp):
+                       anneal_temp, assign_temp, cand_X_all=None,
+                       cand_lp_all=None):
             stats, assignments, boundaries, lm_state, key, lp_total = carry
             valid = idx_blk >= 0
             idx = jnp.maximum(idx_blk, 0)
@@ -920,8 +939,16 @@ class BigramAcousticWordseg:
             # (get_vec_embed_log_probs_unigram, :673-692).
             key, k_dp, k_assign = jax.random.split(key, 3)
             if not assignments_only:
-                cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
-                Xc = X[jnp.maximum(cand_ids, 0)]
+                # Sweep-static candidate tensors indexed as per-utterance
+                # slabs when precomputed (see segmenters/unigram.py).
+                if cand_X_all is None:
+                    cand_ids = dp_slice(seg_ids_blk).reshape(
+                        B, N_max * W_dp)
+                    Xc = X[jnp.maximum(cand_ids, 0)]
+                    prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+                else:
+                    Xc = cand_X_all[idx].reshape(B, N_max * W_dp, -1)
+                    prior_c = cand_lp_all[idx].reshape(B, N_max * W_dp)
                 if full_cov and not pallas:
                     M = N_max * W_dp
                     post = cov.log_post_pred_batch(
@@ -931,7 +958,6 @@ class BigramAcousticWordseg:
                 else:
                     post = None
                 w_b = jax.vmap(lm_unigram_logw)(uni_lo)
-                prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
                 if post is None and pallas and full_cov:
                     # Fused corrected scoring (see ops/pallas_score.py);
                     # the LM unigram weights ride in as the mixture-weight
@@ -1168,6 +1194,10 @@ class BigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
+        if on_mesh:
+            cand_X_all = cand_lp_all = None
+        else:
+            cand_X_all, cand_lp_all = self._cand_tables()
         dtype = self.acoustic_model.X.dtype
 
         @jax.jit
@@ -1177,6 +1207,7 @@ class BigramAcousticWordseg:
                 return block_step(
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                     anneal_temp, assign_temp,
+                    cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
                 ), None
 
             init = (stats, assignments, boundaries, lm_state, key,

@@ -31,13 +31,6 @@ from ..models.kmeans import (
     neg_sqrd_norms,
 )
 
-# The sweep maintains counts/sum_x by additive per-block deltas (see
-# ``_make_block_step``); f32 rounding drift vs a from-scratch rebuild is
-# unbounded over arbitrarily long runs (measured ~1e-5 relative after a
-# 500-sweep soak, PERFORMANCE.md).  An exact rebuild from the assignment
-# vector every _RESYNC_EVERY sweeps bounds the drift at negligible cost
-# (two segment-sums over the corpus, ~0.6 ms at benchmark scale).
-_RESYNC_EVERY = 128
 from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF
 from .common import (
@@ -48,6 +41,14 @@ from .common import (
 from .unigram import process_embeddings
 
 logger = logging.getLogger(__name__)
+
+# The sweep maintains counts/sum_x by additive per-block deltas (see
+# ``_make_block_step``); f32 rounding drift vs a from-scratch rebuild is
+# unbounded over arbitrarily long runs (measured ~1e-5 relative after a
+# 500-sweep soak, PERFORMANCE.md).  An exact rebuild from the assignment
+# vector every _RESYNC_EVERY sweeps bounds the drift at negligible cost
+# (two segment-sums over the corpus, ~0.6 ms at benchmark scale).
+_RESYNC_EVERY = 128
 
 
 def forward_backward_kmeans_viterbi(vec_embed_neg_len_sqrd_norms, N,
@@ -400,6 +401,21 @@ class SegmentalKMeansWordseg:
             self._sweep_fn = self._build_sweep_fn()
         return self._sweep_fn
 
+    def _cand_table(self):
+        """See ``UnigramAcousticWordseg._cand_tables`` (X only)."""
+        am = self.acoustic_model
+        utt = self.utterances
+        N_max, W_store = utt.N_max, utt.W
+        W_dp = (min(self.n_slices_max, N_max)
+                if self.n_slices_max > 0 else N_max)
+        seg = utt.seg_ids
+        if W_store >= W_dp:
+            seg = seg[..., :W_dp]
+        else:
+            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
+                          constant_values=-1)
+        return am.X[jnp.maximum(seg, 0)]
+
     def _get_chunk_fn(self):
         if getattr(self, "_chunk_fn", None) is None:
             self._chunk_fn = self._build_chunk_fn()
@@ -418,6 +434,7 @@ class SegmentalKMeansWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
+        cand_X_all = self._cand_table()
         am = self.acoustic_model
         X = am.X
         dtype = X.dtype
@@ -439,7 +456,7 @@ class SegmentalKMeansWordseg:
                 def f(c, idx_blk):
                     return block_step(
                         c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
-                        random_means,
+                        random_means, cand_X_all=cand_X_all,
                     ), None
 
                 init = (state, boundaries, key, jnp.zeros((), dtype))
@@ -486,7 +503,7 @@ class SegmentalKMeansWordseg:
             return jnp.pad(a, pad, constant_values=fill)
 
         def block_step(carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
-                       random_means):
+                       random_means, cand_X_all=None):
             state, boundaries, key, obj_total = carry
             valid = idx_blk >= 0
             idx = jnp.maximum(idx_blk, 0)
@@ -505,8 +522,13 @@ class SegmentalKMeansWordseg:
             # Candidate scores: best-component distance x duration + wip
             # (kmeans_acoustic_wordseg.py:334-351; note the reference does
             # NOT apply time_power_term here, :349).
-            cand_ids = dp_slice(seg_ids_blk).reshape(B * N_max * W_dp)
-            Xc = X[jnp.maximum(cand_ids, 0)]
+            # Sweep-static candidate tensor indexed as per-utterance
+            # slabs when precomputed (see segmenters/unigram.py).
+            if cand_X_all is None:
+                cand_ids = dp_slice(seg_ids_blk).reshape(B * N_max * W_dp)
+                Xc = X[jnp.maximum(cand_ids, 0)]
+            else:
+                Xc = cand_X_all[idx].reshape(B * N_max * W_dp, -1)
             best = jnp.max(neg_sqrd_norms(Xc, means), axis=-1)
             best = best.reshape(B, N_max, W_dp)
             durs = dp_slice(seg_durs_blk).astype(best.dtype)
@@ -589,6 +611,10 @@ class SegmentalKMeansWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
+        if on_mesh:
+            cand_X_all = None
+        else:
+            cand_X_all = self._cand_table()
         dtype = self.acoustic_model.X.dtype
 
         @jax.jit
@@ -596,7 +622,7 @@ class SegmentalKMeansWordseg:
             def f(carry, idx_blk):
                 return block_step(
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
-                    random_means,
+                    random_means, cand_X_all=cand_X_all,
                 ), None
 
             init = (state, boundaries, key, jnp.zeros((), dtype))

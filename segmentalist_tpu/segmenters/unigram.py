@@ -683,7 +683,8 @@ class UnigramAcousticWordseg:
         )
 
         def block_step(carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
-                       anneal_temp, assign_temp):
+                       anneal_temp, assign_temp, cand_X_all=None,
+                       cand_lp_all=None):
             stats, assignments, boundaries, key, lp_total = carry
             valid = idx_blk >= 0
             idx = jnp.maximum(idx_blk, 0)
@@ -707,10 +708,20 @@ class UnigramAcousticWordseg:
             # 2. Candidate scoring: one batched embeddings x components
             #    kernel for the whole block (HOT LOOP #1 of the reference,
             #    unigram_acoustic_wordseg.py:474-511, fbgmm.py:256-286).
-            cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
+            #    The candidate vectors/prior densities are STATIC across
+            #    sweeps (seg_ids never change), so the sweep builders
+            #    precompute X[seg_ids] once and the per-block "gather"
+            #    becomes B contiguous per-utterance slabs -- the row-
+            #    scattered 15k-tiny-row gather per block was ~2.5 ms/sweep
+            #    of pure gather latency (round-3 stage attribution).
             cand_durs = dp_slice(seg_durs_blk)
-            Xc = X[jnp.maximum(cand_ids, 0)]
-            prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+            if cand_X_all is None:  # shard_map path: gather per block
+                cand_ids = dp_slice(seg_ids_blk).reshape(B, N_max * W_dp)
+                Xc = X[jnp.maximum(cand_ids, 0)]
+                prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+            else:
+                Xc = cand_X_all[idx].reshape(B, N_max * W_dp, -1)
+                prior_c = cand_lp_all[idx].reshape(B, N_max * W_dp)
             if cov_type == "full":
                 # Full covariance scores against the block-GLOBAL predictive
                 # parameters (one [K] Cholesky batch + one MXU matmul), then
@@ -889,6 +900,25 @@ class UnigramAcousticWordseg:
 
         return block_step
 
+    def _cand_tables(self):
+        """Eagerly precompute the sweep-static candidate tensors
+        ``X[seg_ids]`` and ``log_prior_vec[seg_ids]`` ([U, N_max, W_dp, ...]):
+        built once per sweep-builder, closed over as constants, so per-block
+        candidate access is a slab index instead of a 15k-row gather."""
+        am = self.acoustic_model
+        utt = self.utterances
+        N_max, W_store = utt.N_max, utt.W
+        W_dp = (min(self.n_slices_max, N_max)
+                if self.n_slices_max > 0 else N_max)
+        seg = utt.seg_ids
+        if W_store >= W_dp:
+            seg = seg[..., :W_dp]
+        else:
+            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
+                          constant_values=-1)
+        ids = jnp.maximum(seg, 0)
+        return am.X[ids], am.log_prior_vec[ids]
+
     def _get_chunk_fn(self):
         if getattr(self, "_chunk_fn", None) is None:
             self._chunk_fn = self._build_chunk_fn()
@@ -911,6 +941,7 @@ class UnigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
+        cand_X_all, cand_lp_all = self._cand_tables()
         am = self.acoustic_model
         cov, prior, alpha, K_max = am.cov, am.prior, am.alpha, am.K_max
         dtype = am.X.dtype
@@ -934,6 +965,7 @@ class UnigramAcousticWordseg:
                     return block_step(
                         c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                         anneal_temp, assign_temp,
+                        cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
                     ), None
 
                 init = (stats, assignments, boundaries, key,
@@ -970,6 +1002,12 @@ class UnigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
+        # Slab-indexable candidate tensors only off-mesh: under GSPMD the
+        # closed-over [U, ...] constants would be replicated unsharded.
+        if on_mesh:
+            cand_X_all = cand_lp_all = None
+        else:
+            cand_X_all, cand_lp_all = self._cand_tables()
         dtype = self.acoustic_model.X.dtype
 
         @jax.jit
@@ -979,6 +1017,7 @@ class UnigramAcousticWordseg:
                 return block_step(
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                     anneal_temp, assign_temp,
+                    cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
                 ), None
 
             init = (stats, assignments, boundaries, key,
