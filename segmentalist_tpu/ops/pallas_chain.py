@@ -150,7 +150,6 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         temp = temp_ref[0, 0]
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
         lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
         dmask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, D_pad, 1), 1) < D
         ).astype(dtype)
@@ -168,9 +167,10 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         def body(s, carry):
             counts_f, sumx, mu, pp, lpp = carry
             oh_lane = (lane_s == s).astype(dtype)   # [1, 1, S]
-            oh_sub = (sub_s == s).astype(dtype)     # [1, S, 1]
             x = jnp.sum(xe_ref[:] * oh_lane, axis=2, keepdims=True)
-            g = jnp.sum(gumb_ref[:] * oh_sub, axis=1, keepdims=True)
+            # gumb has segment positions on sublanes: dynamic sublane
+            # slice instead of a one-hot pass over [B_t, S, K_pad].
+            g = gumb_ref[:, pl.ds(s, 1), :]
             ok = jnp.sum(okf_ref[:] * oh_lane, axis=2, keepdims=True)
             lp = jnp.sum(logp_ref[:] * oh_lane, axis=2, keepdims=True)
 
@@ -358,7 +358,6 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         temp = temp_ref[0, 0]
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
         lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
         dmask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, D_pad, 1), 1) < D
         ).astype(dtype)
@@ -382,9 +381,10 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         def body(s, carry):
             counts_f, sumx, mu, pp, lpp, j_prev = carry
             oh_lane = (lane_s == s).astype(dtype)
-            oh_sub = (sub_s == s).astype(dtype)
             x = jnp.sum(xe_ref[:] * oh_lane, axis=2, keepdims=True)
-            g = jnp.sum(gumb_ref[:] * oh_sub, axis=1, keepdims=True)
+            # gumb has segment positions on sublanes: dynamic sublane
+            # slice instead of a one-hot pass over [B_t, S, K_pad].
+            g = gumb_ref[:, pl.ds(s, 1), :]
             ok = jnp.sum(okf_ref[:] * oh_lane, axis=2, keepdims=True)
             lp = jnp.sum(logp_ref[:] * oh_lane, axis=2, keepdims=True)
 
@@ -598,7 +598,6 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
         temp = temp_ref[0, 0]
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
         lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
         dmask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, D_pad, 1), 1) < D
         ).astype(dtype)
@@ -624,9 +623,10 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
         def body(s, carry):
             counts_f, sumx, sumsq, mu, var, lpv, gr = carry
             oh_lane = (lane_s == s).astype(dtype)
-            oh_sub = (sub_s == s).astype(dtype)
             x = jnp.sum(xe_ref[:] * oh_lane, axis=2, keepdims=True)
-            g = jnp.sum(gumb_ref[:] * oh_sub, axis=1, keepdims=True)
+            # gumb has segment positions on sublanes: dynamic sublane
+            # slice instead of a one-hot pass over [B_t, S, K_pad].
+            g = gumb_ref[:, pl.ds(s, 1), :]
             ok = jnp.sum(okf_ref[:] * oh_lane, axis=2, keepdims=True)
             lp = jnp.sum(logp_ref[:] * oh_lane, axis=2, keepdims=True)
 
@@ -992,7 +992,6 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
         temp = temp_ref[0, 0]
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
         lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
         dmask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, D_pad, 1), 1) < D
         ).astype(dtype)
@@ -1023,9 +1022,10 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
         def body(s, carry):
             counts_f, sumx, sumsq, mu, var, lpv, gr, j_prev = carry
             oh_lane = (lane_s == s).astype(dtype)
-            oh_sub = (sub_s == s).astype(dtype)
             x = jnp.sum(xe_ref[:] * oh_lane, axis=2, keepdims=True)
-            g = jnp.sum(gumb_ref[:] * oh_sub, axis=1, keepdims=True)
+            # gumb has segment positions on sublanes: dynamic sublane
+            # slice instead of a one-hot pass over [B_t, S, K_pad].
+            g = gumb_ref[:, pl.ds(s, 1), :]
             ok = jnp.sum(okf_ref[:] * oh_lane, axis=2, keepdims=True)
             lp = jnp.sum(logp_ref[:] * oh_lane, axis=2, keepdims=True)
 
@@ -1234,9 +1234,16 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
     T = _round_up(T0 + S, 8)
     K_pad = _round_up(K, 128)
     bigram = lm_params is not None
+    # Per-utterance VMEM: gumbel+base [S, K_pad] x2 (+ohpi in bigram mode),
+    # ONE slot one-hot table [T, K_pad], the slot factor tables
+    # [T, DD+D+3], and [K_pad]-vectors -- measured-accurate accounting (the
+    # old 3*T*K_pad estimate triple-counted OH and pinned B_tile at 8; the
+    # chain is sequential-program-latency bound, so halving the program
+    # count by fitting 16 utterances/tile cut the full-NIW sweep ~25%).
     B_tile = _pick_b_tile(
-        4.0 * ((2 + bigram) * S * K_pad + 3 * T * K_pad + 4 * T * 256) * 1.2,
-        8, B,
+        4.0 * ((2 + bigram) * S * K_pad + T * K_pad
+               + T * (DD + D + 3) + 4 * K_pad) * 1.3,
+        16, B,
         shared_bytes=4.0 * K_pad * (256 + 128 + 1 + bigram * K_pad))
     B_pad = _round_up(B, B_tile)
     dtype = Xe.dtype
@@ -1311,7 +1318,6 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
             (ks_ref,) = rest
         temp = temp_ref[0, 0]
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K_pad), 2)
-        sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
         sub_t = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
         real = lane_k < K
         if bigram:
@@ -1340,12 +1346,15 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
                  j_prev) = carry
             else:
                 counts_f, scnt, t_m, t_invP, t_ldP, free, OH, tmask = carry
-            oh_s = (sub_s == s).astype(dtype)             # [1, S, 1]
-            x = jnp.sum(xe_ref[:] * oh_s, axis=1, keepdims=True)
-            ok = jnp.sum(okf_ref[:] * oh_s, axis=1, keepdims=True)
-            lp = jnp.sum(logp_ref[:] * oh_s, axis=1, keepdims=True)
-            g = jnp.sum(gumb_ref[:] * oh_s, axis=1, keepdims=True)
-            b_row = jnp.sum(base_ref[:] * oh_s, axis=1, keepdims=True)
+            # This kernel's layout puts segment positions on SUBLANES, so
+            # the current step's rows are dynamic sublane slices -- no
+            # per-step one-hot multiply-reduce passes over the full
+            # [B_t, S, K_pad] tensors (worth ~10% of the full-NIW sweep).
+            x = xe_ref[:, pl.ds(s, 1), :]                 # [B_t, 1, D]
+            ok = okf_ref[:, pl.ds(s, 1), :]               # [B_t, 1, 1]
+            lp = logp_ref[:, pl.ds(s, 1), :]
+            g = gumb_ref[:, pl.ds(s, 1), :]               # [B_t, 1, K_pad]
+            b_row = base_ref[:, pl.ds(s, 1), :]
 
             # --- exact leave-out corrections for the touched slots -------- #
             delta = x - t_m                               # [B_t, T, D]
