@@ -43,7 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(-jnp.inf)
 _LOG_2PI = math.log(2.0 * math.pi)
-_B_TILE = 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -110,9 +109,14 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     B, S, D = Xe.shape
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
+    # Measured-accurate VMEM accounting (inputs gumb [S, K_pad] + sumx /
+    # mu / pp carries [D_pad, K_pad] + vectors); 32-utterance tiles fit at
+    # benchmark scale and halve the sequential program count (10.3 -> 10.0
+    # ms/sweep, round 3); long utterances fall back to smaller tiles.
     B_tile = _pick_b_tile(
-        4.0 * (S * K_pad + 5 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
-        _B_TILE, B)
+        4.0 * (S * K_pad + 3 * D_pad * K_pad + 2 * D_pad * S + 2 * K_pad)
+        * 1.3,
+        32, B, budget=13.5 * 2 ** 20)
     B_pad = _round_up(B, B_tile)
     dtype = Xe.dtype
     Kf = float(K)
