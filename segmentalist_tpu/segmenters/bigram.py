@@ -616,7 +616,6 @@ class BigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
-        cand_X_all, cand_lp_all = self._cand_tables()
         am = self.acoustic_model
         cov, prior = am.cov, am.prior
         dtype = am.X.dtype
@@ -630,7 +629,7 @@ class BigramAcousticWordseg:
 
         @jax.jit
         def chunk(stats, assignments, boundaries, lm_state, key, temps,
-                  assign_temps):
+                  assign_temps, cand_X_all=None, cand_lp_all=None):
             def one_sweep(carry, ts):
                 stats, assignments, boundaries, lm_state, key = carry
                 anneal_temp, assign_temp = ts
@@ -675,7 +674,9 @@ class BigramAcousticWordseg:
             )
             return stats, assignments, boundaries, lm_state, key, lps, ms
 
-        return chunk
+        cand_X_all, cand_lp_all = self._cand_tables()
+        return lambda *args: chunk(*args, cand_X_all=cand_X_all,
+                                   cand_lp_all=cand_lp_all)
 
     def _build_log_prob_z_fn(self):
         lam, a, b, K = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
@@ -1194,15 +1195,12 @@ class BigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
-        if on_mesh:
-            cand_X_all = cand_lp_all = None
-        else:
-            cand_X_all, cand_lp_all = self._cand_tables()
         dtype = self.acoustic_model.X.dtype
 
         @jax.jit
         def sweep(stats, assignments, boundaries, lm_state, key, blocks,
-                  anneal_temp, assign_temp):
+                  anneal_temp, assign_temp, cand_X_all=None,
+                  cand_lp_all=None):
             def f(carry, idx_blk):
                 return block_step(
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
@@ -1217,4 +1215,10 @@ class BigramAcousticWordseg:
             )
             return stats, assignments, boundaries, lm_state, key, lp_total
 
-        return sweep
+        if on_mesh:
+            return sweep
+        # Candidate tensors as ARGUMENTS, not closed-over constants (see
+        # segmenters/unigram.py).
+        cand_X_all, cand_lp_all = self._cand_tables()
+        return lambda *args: sweep(*args, cand_X_all=cand_X_all,
+                                   cand_lp_all=cand_lp_all)

@@ -434,7 +434,6 @@ class SegmentalKMeansWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
-        cand_X_all = self._cand_table()
         am = self.acoustic_model
         X = am.X
         dtype = X.dtype
@@ -444,7 +443,7 @@ class SegmentalKMeansWordseg:
         pad = n_blocks * B - U
 
         @jax.jit
-        def chunk(state, random_means, boundaries, key):
+        def chunk(state, random_means, boundaries, key, cand_X_all=None):
             def one_sweep(carry, _):
                 state, boundaries, key = carry
                 key, k_perm = jax.random.split(key)
@@ -476,7 +475,8 @@ class SegmentalKMeansWordseg:
             )
             return state, boundaries, objs, ms
 
-        return chunk
+        cand_X_all = self._cand_table()
+        return lambda *args: chunk(*args, cand_X_all=cand_X_all)
 
     def _make_block_step(self, B: int, pallas: bool, reduce_fn):
         """Per-block segmental k-means update, shared by the single-device
@@ -611,14 +611,11 @@ class SegmentalKMeansWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
-        if on_mesh:
-            cand_X_all = None
-        else:
-            cand_X_all = self._cand_table()
         dtype = self.acoustic_model.X.dtype
 
         @jax.jit
-        def sweep(state, random_means, boundaries, blocks, key):
+        def sweep(state, random_means, boundaries, blocks, key,
+                  cand_X_all=None):
             def f(carry, idx_blk):
                 return block_step(
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
@@ -631,4 +628,8 @@ class SegmentalKMeansWordseg:
             )
             return state, boundaries, obj_total
 
-        return sweep
+        if on_mesh:
+            return sweep
+        # Candidate tensor as an ARGUMENT, not a closed-over constant.
+        cand_X_all = self._cand_table()
+        return lambda *args: sweep(*args, cand_X_all=cand_X_all)

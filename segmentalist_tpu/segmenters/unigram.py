@@ -941,7 +941,6 @@ class UnigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
-        cand_X_all, cand_lp_all = self._cand_tables()
         am = self.acoustic_model
         cov, prior, alpha, K_max = am.cov, am.prior, am.alpha, am.K_max
         dtype = am.X.dtype
@@ -951,7 +950,8 @@ class UnigramAcousticWordseg:
         pad = n_blocks * B - U
 
         @jax.jit
-        def chunk(stats, assignments, boundaries, key, temps, assign_temps):
+        def chunk(stats, assignments, boundaries, key, temps, assign_temps,
+                  cand_X_all=None, cand_lp_all=None):
             def one_sweep(carry, ts):
                 stats, assignments, boundaries, key = carry
                 anneal_temp, assign_temp = ts
@@ -988,7 +988,9 @@ class UnigramAcousticWordseg:
             )
             return stats, assignments, boundaries, key, lps, ms
 
-        return chunk
+        cand_X_all, cand_lp_all = self._cand_tables()
+        return lambda *args: chunk(*args, cand_X_all=cand_X_all,
+                                   cand_lp_all=cand_lp_all)
 
     def _build_sweep_fn(self):
         # Under a GSPMD mesh the XLA paths are used: GSPMD cannot partition
@@ -1002,17 +1004,11 @@ class UnigramAcousticWordseg:
         seg_ids_all = utt.seg_ids
         seg_durs_all = utt.seg_durations
         lengths_all = utt.lengths_dev
-        # Slab-indexable candidate tensors only off-mesh: under GSPMD the
-        # closed-over [U, ...] constants would be replicated unsharded.
-        if on_mesh:
-            cand_X_all = cand_lp_all = None
-        else:
-            cand_X_all, cand_lp_all = self._cand_tables()
         dtype = self.acoustic_model.X.dtype
 
         @jax.jit
         def sweep(stats, assignments, boundaries, key, blocks, anneal_temp,
-                  assign_temp):
+                  assign_temp, cand_X_all=None, cand_lp_all=None):
             def f(carry, idx_blk):
                 return block_step(
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
@@ -1027,4 +1023,12 @@ class UnigramAcousticWordseg:
             )
             return stats, assignments, boundaries, key, lp_total
 
-        return sweep
+        if on_mesh:
+            # Under GSPMD the [U, ...] candidate tensors would be
+            # replicated unsharded; keep the per-block gather.
+            return sweep
+        # Pass the sweep-static candidate tensors as ARGUMENTS (not
+        # closed-over constants, which XLA may embed in the executable).
+        cand_X_all, cand_lp_all = self._cand_tables()
+        return lambda *args: sweep(*args, cand_X_all=cand_X_all,
+                                   cand_lp_all=cand_lp_all)
