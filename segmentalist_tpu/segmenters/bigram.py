@@ -657,7 +657,7 @@ class BigramAcousticWordseg:
                     embeds >= 0, assignments[jnp.maximum(embeds, 0)], -1
                 )
                 m = (
-                    lpz_fn(ks),
+                    ks,
                     cov.log_marg(prior, stats),
                     num_active(stats),
                     jnp.sum((assignments >= 0).astype(jnp.int32)),
@@ -672,6 +672,15 @@ class BigramAcousticWordseg:
                     (temps, assign_temps),
                 )
             )
+            # The LM-replay metric's batched sort is pass-latency-bound,
+            # not bandwidth-bound, so replaying all chunk sweeps in ONE
+            # vmapped sort costs about the same as one sweep's replay
+            # (measured: ~3.1 ms/sweep -> ~0.4 ms/sweep at benchmark
+            # scale).  The transcripts ride the scan outputs; values are
+            # identical to the per-sweep calls.
+            ks_stack, lpx, k_act, n_tok = ms
+            lpz = jax.vmap(lpz_fn)(ks_stack)
+            ms = (lpz, lpx, k_act, n_tok)
             return stats, assignments, boundaries, lm_state, key, lps, ms
 
         cand_X_all, cand_lp_all = self._cand_tables()

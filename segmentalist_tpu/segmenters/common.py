@@ -55,21 +55,26 @@ def segments_from_boundaries(boundaries: Array, lengths: Array) -> Segments:
     """Decode the boundary matrix into ordered segment (end, length) pairs.
 
     Device equivalent of the reference ``get_segmented_landmark_indices``
-    (``utterances.py:206-216``).  Fully parallel: the s-th boundary position
-    is found by a cumulative count + scatter instead of a sequential scan
-    over landmark positions.
+    (``utterances.py:206-216``).  Fully parallel AND scatter-free: the
+    position of the (s+1)-th boundary equals ``#{t : csum[t] <= s}``
+    (``csum`` is nondecreasing), a comparison-sum over a [B, S, T] bool
+    tensor.  TPU scatters serialize per index and this decode runs inside
+    every block step's sweep scan, so the comparison-sum form is ~10x
+    cheaper in-context (round-3 measurement, PERFORMANCE.md).
     """
     B, N_max = boundaries.shape
     t_grid = jnp.arange(N_max, dtype=jnp.int32)[None, :]
     is_b = boundaries & (t_grid < lengths[:, None])
     csum = jnp.cumsum(is_b.astype(jnp.int32), axis=1)
     n = csum[:, -1] if N_max > 0 else jnp.zeros((B,), jnp.int32)
-    # Scatter boundary position t into segment slot csum[t] - 1.
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    cols = jnp.where(is_b, csum - 1, N_max)  # N_max = dropped
-    ends = jnp.full((B, N_max + 1), -1, jnp.int32).at[
-        rows, cols
-    ].set(jnp.broadcast_to(t_grid, (B, N_max)), mode="drop")[:, :N_max]
+    s_grid = jnp.arange(N_max, dtype=jnp.int32)
+    # p[b, s] = #{t : csum[b, t] <= s} = position of the (s+1)-th boundary
+    # (== N_max when there is none, masked to -1 below).
+    p = jnp.sum(
+        (csum[:, None, :] <= s_grid[None, :, None]).astype(jnp.int32),
+        axis=2,
+    )
+    ends = jnp.where(s_grid[None, :] < n[:, None], p, -1)
     prev_ends = jnp.concatenate(
         [jnp.full((B, 1), -1, jnp.int32), ends[:, :-1]], axis=1
     )
@@ -90,10 +95,24 @@ def gather_segment_embeds(segments: Segments, seg_ids: Array) -> Array:
 
 
 def _gather2(seg_ids: Array, ends: Array, ws: Array) -> Array:
-    """seg_ids[b, ends[b, s], ws[b, s]] for every (b, s)."""
-    B = seg_ids.shape[0]
-    b_idx = jnp.arange(B)[:, None]
-    return seg_ids[b_idx, ends, ws]
+    """seg_ids[b, ends[b, s], ws[b, s]] for every (b, s).
+
+    Ridden as a one-hot MXU contraction over the (small) landmark axis plus
+    an elementwise one-hot sum over the window axis, not an element gather:
+    TPU element gathers are latency-bound and this runs inside the sweep
+    scan (round-3 measurement, PERFORMANCE.md).  HIGHEST precision keeps
+    the f32 passes exact for integer ids (< 2^24); bf16 MXU passes would
+    quantize them.
+    """
+    B, T, W = seg_ids.shape
+    oh_t = jax.nn.one_hot(ends, T, dtype=jnp.float32)  # [B, S, T]
+    rows = jax.lax.dot_general(
+        oh_t, seg_ids.astype(jnp.float32),
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, S, W]
+    oh_w = jax.nn.one_hot(ws, W, dtype=jnp.float32)  # [B, S, W]
+    return jnp.sum(rows * oh_w, axis=2).astype(jnp.int32)
 
 
 def gather_block_segments(boundaries_blk, lengths_blk, seg_ids_blk):

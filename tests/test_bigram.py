@@ -245,6 +245,36 @@ def test_log_prob_z_parallel_matches_python_replay():
         npt.assert_allclose(got, total, rtol=1e-5), trial
 
 
+def test_log_prob_z_vmap_matches_per_sweep():
+    """The chunked sweep replays all sweeps' transcripts in ONE vmapped
+    batched sort (segmenters/bigram.py:_build_chunk_fn); the batched values
+    must equal per-sweep calls."""
+    import jax
+    import jax.numpy as jnp
+    from segmentalist_tpu import FixedVarPrior
+    from segmentalist_tpu.segmenters.bigram import BigramAcousticWordseg
+    from segmentalist_tpu.utils.synth import synthetic_corpus
+
+    em, vi, du, lmk, _ = synthetic_corpus(
+        n_utterances=5, n_landmarks_max=5, D=3, K_true=2, n_slices_max=3,
+        seed=3)
+    prior = FixedVarPrior.create(0.05 * np.ones(3), np.zeros(3), np.ones(3))
+    np.random.seed(3)
+    seg = BigramAcousticWordseg(
+        am_K=4, am_param_prior=prior,
+        lm_params={"type": "smooth", "intrp_lambda": 0.15, "a": 1.2,
+                   "b": 2.0},
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lmk, p_boundary_init=0.5, beta_sent_boundary=-1,
+        n_slices_max=3, fb_type="unigram", batch_size=2, seed=3)
+    fn = seg._log_prob_z_fn or seg._build_log_prob_z_fn()
+    rng = np.random.RandomState(1)
+    stack = jnp.asarray(rng.randint(-1, 4, (6, 5, 6)).astype(np.int32))
+    batched = np.asarray(jax.vmap(fn)(stack))
+    per_sweep = np.asarray([float(fn(stack[s])) for s in range(6)])
+    npt.assert_allclose(batched, per_sweep, rtol=1e-6)
+
+
 def test_bigram_full_covariance_smoke():
     """Bigram driver with the full-NIW backend: exercises the fused
     corrected-scoring kernel path (interpret on CPU) plus the XLA fullcov
