@@ -98,21 +98,25 @@ def _visited_closure(p: Array, lengths: Array) -> Array:
 
     Parallel pointer doubling: after round i the mask holds the first 2^i
     chain nodes and ``jump = p^(2^i)``, so ceil(log2(N + 1)) rounds of
-    O(B * N) gathers/scatters cover the whole chain (``p`` is strictly
+    O(B * N) one-hot contractions cover the whole chain (``p`` is strictly
     decreasing for v >= 1 with p(0) = 0, so the chain has at most N + 1
     nodes).  Replaces an earlier boolean matrix-squaring closure that cost
-    O(B * N^2) memory and O(B * N^3 * log N) flops.
+    O(B * N^2) memory and O(B * N^3 * log N) flops.  The per-round
+    propagate/compose steps ride one-hot matmuls rather than scatter/gather
+    (TPU scatters serialize per index and this runs inside the sweep scan);
+    HIGHEST precision keeps the f32 passes exact for node indices (< 2^24).
     """
     B, N1 = p.shape
-    rows = jnp.arange(B)[:, None]
     m = jnp.arange(N1)[None, :] == lengths.astype(jnp.int32)[:, None]
     jump = p
     for _ in range(max(1, math.ceil(math.log2(N1)))):
-        hit = jnp.zeros((B, N1), jnp.int32).at[rows, jump].max(
-            m.astype(jnp.int32)
-        )
-        m = m | (hit > 0)
-        jump = jnp.take_along_axis(jump, jump, axis=1)
+        oh = jax.nn.one_hot(jump, N1, dtype=jnp.float32)  # [B, z, u]
+        hit = jnp.einsum("bz,bzu->bu", m.astype(jnp.float32), oh)
+        m = m | (hit > 0.5)
+        jump = jnp.einsum(
+            "bzu,bu->bz", oh, jump.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
     return m
 
 
@@ -170,8 +174,12 @@ def segment_dp(scores: Array, lengths: Array, key: jax.Array,
     # ---- 2. per-node backward draws (parallel over all nodes) ----------- #
     # Node v in 1..N: window logits[j] = rev[v-1, j] + alpha[v - W + j].
     v_idx = jnp.arange(1, N + 1)
-    gather_idx = v_idx[:, None] + jnp.arange(W)[None, :]  # alphas_pad[v + j]
-    window_alphas = alphas_pad[:, gather_idx]  # [B, N, W]
+    # window_alphas[b, v - 1, j] = alphas_pad[b, v + j]: W static shifted
+    # slices, not an advanced-index gather (gathers are latency-bound
+    # inside the sweep scan).
+    window_alphas = jnp.stack(
+        [alphas_pad[:, 1 + j: 1 + j + N] for j in range(W)], axis=-1
+    )  # [B, N, W]
     node_logits = rev + window_alphas
     samplable = jnp.any(jnp.isfinite(node_logits), axis=-1)  # [B, N]
 
@@ -188,7 +196,11 @@ def segment_dp(scores: Array, lengths: Array, key: jax.Array,
         )
 
     k = (W - pick).astype(jnp.int32)  # chosen segment length per node
-    contrib = jnp.take_along_axis(rev, pick[..., None], axis=-1)[..., 0]
+    # rev[..., pick] as select + max (no gather; -inf entries forbid the
+    # multiply-by-one-hot form).
+    contrib = jnp.max(
+        jnp.where(jnp.arange(W) == pick[..., None], rev, NEG_INF), axis=-1
+    )
 
     # Predecessor pointers over nodes 0..N (node 0 is absorbing).
     p_nodes = jnp.where(samplable, v_idx[None, :] - k, v_idx[None, :] - 1)

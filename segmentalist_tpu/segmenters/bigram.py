@@ -42,6 +42,7 @@ from .common import (
     masked_candidate_scores,
     pad_utterance_order,
     segments_from_boundaries,
+    slab_segment_rows,
     utterance_contrib,
 )
 from .unigram import process_embeddings
@@ -822,7 +823,7 @@ class BigramAcousticWordseg:
                            and cov_type in ("fixed", "diag"))
 
         def assignment_chain(lo_b, params_b, uni_lo_b, big_table, big_corr_j,
-                             big_corr_i, embeds_b, gumb_b, temp):
+                             big_corr_i, embeds_b, x_b, lp_b, gumb_b, temp):
             """Sequential bigram-conditioned assignment resampling (reference
             gibbs_sample_inside_loop_i_embed, bigram_acoustic_wordseg.py:332-384).
 
@@ -845,9 +846,8 @@ class BigramAcousticWordseg:
 
             def step(carry, inp):
                 stats_b, p_b, j_prev = carry
-                e, g = inp
+                e, x, lp, g = inp
                 ok = e >= 0
-                x = X[jnp.maximum(e, 0)]
                 # Bigram row with own-count corrections.
                 j_s = jnp.maximum(j_prev, 0)
                 row = big_table[j_s].astype(X.dtype)
@@ -860,9 +860,7 @@ class BigramAcousticWordseg:
                 w_big = lms * jnp.log(p_cond)
                 w = jnp.where(j_prev >= 0, w_big, uni_w)
                 post = cov.log_post_pred(p_b, x)
-                logits = w + jnp.where(
-                    stats_b.counts > 0, post, log_prior_vec[jnp.maximum(e, 0)]
-                )
+                logits = w + jnp.where(stats_b.counts > 0, post, lp)
                 k = jnp.argmax(jnp.where(
                     jnp.isneginf(logits), NEG_INF, logits / temp + g
                 ))
@@ -876,7 +874,8 @@ class BigramAcousticWordseg:
                 )
 
             (_, _, _), ks = jax.lax.scan(
-                step, (lo_b, params_b, jnp.int32(-1)), (embeds_b, gumb_b)
+                step, (lo_b, params_b, jnp.int32(-1)),
+                (embeds_b, x_b, lp_b, gumb_b)
             )
             return ks
 
@@ -920,13 +919,31 @@ class BigramAcousticWordseg:
             bounds_blk = boundaries[idx]
 
             # Old segments, transcripts and LM/AM leave-outs.
-            old_embeds, _ = gather_block_segments(
+            old_embeds, segs_old = gather_block_segments(
                 bounds_blk, lengths_blk, seg_ids_blk
             )
             old_ks = jnp.where(
                 old_embeds >= 0, assignments[jnp.maximum(old_embeds, 0)], -1
             )
             pj, pi = transcript_pairs_batch(old_ks)
+            # Sweep-static candidate tensors indexed as per-utterance slabs
+            # when precomputed, and segment rows pulled from them by one-hot
+            # MXU contraction (see segmenters/unigram.py and
+            # common.slab_segment_rows).
+            if not assignments_only:
+                if cand_X_all is None:
+                    cand_ids = dp_slice(seg_ids_blk).reshape(
+                        B, N_max * W_dp)
+                    Xc = X[jnp.maximum(cand_ids, 0)]
+                    prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
+                else:
+                    Xc = cand_X_all[idx].reshape(B, N_max * W_dp, -1)
+                    prior_c = cand_lp_all[idx].reshape(B, N_max * W_dp)
+            slab_ok = (W_store == W_dp) and not assignments_only
+            if slab_ok:
+                Xe_old, _ = slab_segment_rows(Xc, prior_c, segs_old, W_dp)
+            else:
+                Xe_old = None
             if full_cov:
                 lo = params_b = None
                 cnt_c = counts_contrib(old_ks, old_embeds >= 0, K_max)
@@ -934,10 +951,10 @@ class BigramAcousticWordseg:
                 uni_lo = lm_state.unigram_counts[None] - cnt_c
                 params_g = cov.predictive_params(prior, stats)
                 touched = touched_leave_out(prior, stats, X, old_embeds,
-                                            old_ks)
+                                            old_ks, rows=Xe_old)
             else:
                 old_contrib = utterance_contrib(X, old_embeds, old_ks, K_max,
-                                                full_cov)
+                                                full_cov, rows=Xe_old)
                 lo = leave_out_stats(stats, old_contrib)
                 lo_counts = lo.counts
                 uni_lo = lm_state.unigram_counts[None] - old_contrib.counts
@@ -949,16 +966,6 @@ class BigramAcousticWordseg:
             # (get_vec_embed_log_probs_unigram, :673-692).
             key, k_dp, k_assign = jax.random.split(key, 3)
             if not assignments_only:
-                # Sweep-static candidate tensors indexed as per-utterance
-                # slabs when precomputed (see segmenters/unigram.py).
-                if cand_X_all is None:
-                    cand_ids = dp_slice(seg_ids_blk).reshape(
-                        B, N_max * W_dp)
-                    Xc = X[jnp.maximum(cand_ids, 0)]
-                    prior_c = log_prior_vec[jnp.maximum(cand_ids, 0)]
-                else:
-                    Xc = cand_X_all[idx].reshape(B, N_max * W_dp, -1)
-                    prior_c = cand_lp_all[idx].reshape(B, N_max * W_dp)
                 if full_cov and not pallas:
                     M = N_max * W_dp
                     post = cov.log_post_pred_batch(
@@ -1024,13 +1031,20 @@ class BigramAcousticWordseg:
                     n_slices_min=n_min, n_slices_max=W_dp, mode="sample",
                     use_pallas=None if pallas else False,
                 )
-                new_embeds, _ = gather_block_segments(
+                new_embeds, segs_new = gather_block_segments(
                     new_bounds, lengths_blk, seg_ids_blk
                 )
             else:
                 log_prob = jnp.zeros((B,), X.dtype)
                 new_bounds = bounds_blk
                 new_embeds = old_embeds
+                segs_new = segs_old
+            if slab_ok:
+                Xe_new, lpe_new = slab_segment_rows(Xc, prior_c, segs_new,
+                                                    W_dp)
+            else:
+                Xe_new = X[jnp.maximum(new_embeds, 0)]
+                lpe_new = log_prior_vec[jnp.maximum(new_embeds, 0)]
 
             # Sequential bigram-conditioned assignment chains.
             gumbel = jax.random.gumbel(
@@ -1042,7 +1056,7 @@ class BigramAcousticWordseg:
                 # HIGHEST: these scores feed an argmax over K (see
                 # components_full.log_post_pred_batch docstring).
                 G_new = cov.log_post_pred_batch(
-                    params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, -1),
+                    params_g, Xe_new.reshape(B * S, -1),
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape(B, S, K_max)
                 if pallas:
@@ -1057,8 +1071,7 @@ class BigramAcousticWordseg:
                                             touched)
                     )
                     new_ks = fullcov_chain_pallas(
-                        new_embeds, X[jnp.maximum(new_embeds, 0)],
-                        log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                        new_embeds, Xe_new, lpe_new, gumbel,
                         G_new, lo_counts, scnt0, tm0, tiP0, tld0, tk0,
                         g_m, g_iP, g_ld, float(prior.k_0),
                         float(prior.v_0), assign_temp,
@@ -1091,8 +1104,7 @@ class BigramAcousticWordseg:
                 from ..ops.pallas_chain import bigram_fixedvar_chain
 
                 new_ks = bigram_fixedvar_chain(
-                    new_embeds, X[jnp.maximum(new_embeds, 0)],
-                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    new_embeds, Xe_new, lpe_new, gumbel,
                     lo.counts, lo.sum_x,
                     prior.var, prior.var_0, prior.mu_0, assign_temp,
                     uni_lo, big_table, pj, pi,
@@ -1104,8 +1116,7 @@ class BigramAcousticWordseg:
                 from ..ops.pallas_chain import bigram_diag_chain
 
                 new_ks = bigram_diag_chain(
-                    new_embeds, X[jnp.maximum(new_embeds, 0)],
-                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    new_embeds, Xe_new, lpe_new, gumbel,
                     lo.counts, lo.sum_x, lo.sum_sq,
                     prior.m_0, float(prior.k_0), float(prior.v_0),
                     prior.S_0, assign_temp,
@@ -1121,8 +1132,7 @@ class BigramAcousticWordseg:
                 from ..ops.pallas_chain import bigram_diag_chain_xla
 
                 new_ks = bigram_diag_chain_xla(
-                    new_embeds, X[jnp.maximum(new_embeds, 0)],
-                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    new_embeds, Xe_new, lpe_new, gumbel,
                     lo.counts, lo.sum_x, lo.sum_sq,
                     prior.m_0, float(prior.k_0), float(prior.v_0),
                     prior.S_0, assign_temp,
@@ -1132,21 +1142,23 @@ class BigramAcousticWordseg:
                 )
             else:
                 new_ks = jax.vmap(
-                    lambda lo_b, p_b, u_b, cj, ci, e_b, g_b:
+                    lambda lo_b, p_b, u_b, cj, ci, e_b, x_b, lp_b, g_b:
                     assignment_chain(
-                        lo_b, p_b, u_b, big_table, cj, ci, e_b, g_b,
-                        assign_temp
+                        lo_b, p_b, u_b, big_table, cj, ci, e_b, x_b, lp_b,
+                        g_b, assign_temp
                     )
-                )(lo, params_b, uni_lo, pj, pi, new_embeds, gumbel)
+                )(lo, params_b, uni_lo, pj, pi, new_embeds, Xe_new, lpe_new,
+                  gumbel)
 
             # Merge acoustic stats / LM counts / assignments / boundaries.
             # All deltas are additive, so under shard_map ``reduce_fn`` psums
             # them before they are applied to the replicated state.
             old_ks_masked = jnp.where(valid[:, None], old_ks, -1)
             old_flat_contrib = flat_contrib(X, old_embeds, old_ks_masked,
-                                            K_max, full_cov, valid)
+                                            K_max, full_cov, valid,
+                                            rows=Xe_old)
             new_flat_contrib = flat_contrib(X, new_embeds, new_ks, K_max,
-                                            full_cov, valid)
+                                            full_cov, valid, rows=Xe_new)
             zero_lm = BigramLMState(
                 unigram_counts=jnp.zeros((K_max,), jnp.int32),
                 bigram_counts=jnp.zeros((K_max, K_max), jnp.int32),

@@ -122,22 +122,55 @@ def gather_block_segments(boundaries_blk, lengths_blk, seg_ids_blk):
     return embeds, segs
 
 
+def slab_segment_rows(cand_X: Array, cand_lp: Array, segs: Segments,
+                      W_dp: int):
+    """Embedding rows / prior log-densities of a block's segments, pulled
+    from the slab-resident candidate tensors (``_cand_tables``) by one-hot
+    MXU contraction instead of a tiny-row ``X[embeds]`` gather (such gathers
+    are latency-bound inside the sweep scan; round-3 measurement,
+    PERFORMANCE.md).
+
+    Valid only when every stored segment fits the DP window (callers gate on
+    ``W_store == W_dp``: the DP never samples a span longer than W_dp, and
+    spans longer than W_store have no embedding row at all).  Rows of
+    invalid slots (``segs.ends < 0`` or pads) are garbage exactly like the
+    clamped-gather path's ``X[0]`` rows; every consumer masks on
+    ``embeds >= 0``.  HIGHEST precision makes the f32 one-hot passes exact
+    row copies.
+    """
+    B, M, D = cand_X.shape
+    t = jnp.maximum(segs.ends, 0)
+    w = jnp.clip(segs.ws, 0, W_dp - 1)
+    oh = jax.nn.one_hot(t * W_dp + w, M, dtype=cand_X.dtype)  # [B, S, M]
+    Xe = jax.lax.dot_general(
+        oh, cand_X, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, S, D]
+    if cand_lp is None:
+        return Xe, None
+    lpe = jnp.einsum("bsm,bm->bs", oh, cand_lp,
+                     precision=jax.lax.Precision.HIGHEST)
+    return Xe, lpe
+
+
 # ---------------------------------------------------------------------------#
 #                 per-utterance statistic contributions                       #
 # ---------------------------------------------------------------------------#
 
 def utterance_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
-                      full_cov: bool) -> SuffStats:
+                      full_cov: bool, rows: Array | None = None) -> SuffStats:
     """Per-utterance sufficient-statistic contribution [B, K, ...].
 
     ``embeds`` [B, S] (-1 pads) with component assignments ``ks`` [B, S]
-    (entries with embed == -1 or k == -1 contribute nothing).
+    (entries with embed == -1 or k == -1 contribute nothing).  ``rows``
+    ([B, S, D]) supplies the embedding rows directly (see ``flat_contrib``).
     """
 
-    def one(e_row, k_row):
+    def one(e_row, k_row, x):
         valid = (e_row >= 0) & (k_row >= 0)
         seg = jnp.where(valid, k_row, K_max)
-        x = X[jnp.maximum(e_row, 0)]
+        if x is None:
+            x = X[jnp.maximum(e_row, 0)]
         x = jnp.where(valid[:, None], x, 0.0)
         counts = jax.ops.segment_sum(
             valid.astype(jnp.int32), seg, num_segments=K_max + 1
@@ -147,7 +180,9 @@ def utterance_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
         sum_sq = jax.ops.segment_sum(sq, seg, num_segments=K_max + 1)[:-1]
         return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
 
-    return jax.vmap(one)(embeds, ks)
+    if rows is not None:
+        return jax.vmap(one)(embeds, ks, rows)
+    return jax.vmap(lambda e, k: one(e, k, None))(embeds, ks)
 
 
 def leave_out_stats(global_stats: SuffStats, contrib: SuffStats) -> SuffStats:
@@ -160,16 +195,25 @@ def leave_out_stats(global_stats: SuffStats, contrib: SuffStats) -> SuffStats:
 
 
 def flat_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
-                 full_cov: bool, valid: Array) -> SuffStats:
+                 full_cov: bool, valid: Array,
+                 rows: Array | None = None) -> SuffStats:
     """Summed sufficient-statistic contribution of all (utterance, segment)
     pairs in a block, as one-hot MXU matmuls: TPU scatter-adds serialize per
     index (~35 us each at block scale, 6 per block), while the [items, K]
     one-hot contraction is a trivial matmul.  HIGHEST precision: these sums
     feed the global statistics whose leave-out subtractions drive
-    argmax-sensitive scores (see CLAUDE.md)."""
+    argmax-sensitive scores (see CLAUDE.md).
+
+    ``rows`` ([B, S, D], e.g. from ``slab_segment_rows``) supplies the
+    segment embedding rows directly, skipping the latency-bound tiny-row
+    ``X[embeds]`` gather; values at masked slots are ignored either way.
+    """
     ok = (embeds >= 0) & (ks >= 0) & valid[:, None]
     seg = jnp.where(ok, ks, K_max).reshape(-1)
-    x = X[jnp.maximum(embeds, 0).reshape(-1)]
+    if rows is not None:
+        x = rows.reshape(-1, rows.shape[-1])
+    else:
+        x = X[jnp.maximum(embeds, 0).reshape(-1)]
     x = jnp.where(ok.reshape(-1)[:, None], x, 0.0)
     oh = (seg[:, None] == jnp.arange(K_max, dtype=seg.dtype)[None, :]
           ).astype(x.dtype)  # [B*S, K]; pad rows (seg == K_max) are all-zero

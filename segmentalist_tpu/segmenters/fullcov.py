@@ -97,13 +97,16 @@ class Touched(NamedTuple):
     params: PredParams
 
 
-def touched_leave_out(prior, stats, X, old_embeds, old_ks) -> Touched:
+def touched_leave_out(prior, stats, X, old_embeds, old_ks,
+                      rows=None) -> Touched:
     """Leave-one-utterance-out statistics restricted to the components each
     utterance actually touches (its old segments' assignments).
 
     Duplicate component ids within an utterance are collapsed to their first
     occurrence (later slots get tk = -1): each touched component's correction
     subtracts the utterance's FULL contribution to it, so one slot suffices.
+    ``rows`` ([B, S, D]) supplies the old segments' embedding rows directly,
+    skipping the tiny-row gather (see ``common.slab_segment_rows``).
     """
     B, S = old_ks.shape
     dtype = X.dtype
@@ -120,7 +123,7 @@ def touched_leave_out(prior, stats, X, old_embeds, old_ks) -> Touched:
     is_dup = jnp.any(same & earlier[None], axis=-1)
     tk = jnp.where(valid & ~is_dup, old_ks, -1)
 
-    x_old = X[jnp.maximum(old_embeds, 0)]
+    x_old = X[jnp.maximum(old_embeds, 0)] if rows is None else rows
     x_old = jnp.where(valid[:, :, None], x_old, 0.0)
     same_f = same.astype(dtype)
     contrib_counts = jnp.sum(same, axis=-1).astype(stats.counts.dtype)

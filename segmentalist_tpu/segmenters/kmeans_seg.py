@@ -37,6 +37,7 @@ from .common import (
     flat_contrib,
     gather_block_segments,
     pad_utterance_order,
+    slab_segment_rows,
 )
 from .unigram import process_embeddings
 
@@ -515,7 +516,7 @@ class SegmentalKMeansWordseg:
             means = means_from_state(state, random_means)
 
             # Old segments (deleted only after the DP, reference :310-320).
-            old_embeds, _ = gather_block_segments(
+            old_embeds, segs_old = gather_block_segments(
                 bounds_blk, lengths_blk, seg_ids_blk
             )
 
@@ -529,6 +530,14 @@ class SegmentalKMeansWordseg:
                 Xc = X[jnp.maximum(cand_ids, 0)]
             else:
                 Xc = cand_X_all[idx].reshape(B * N_max * W_dp, -1)
+            # Segment rows pulled from the candidate slab (one-hot MXU
+            # contraction, see common.slab_segment_rows).
+            slab_ok = W_store == W_dp
+            Xc_slab = Xc.reshape(B, N_max * W_dp, -1)
+            if slab_ok:
+                Xe_old, _ = slab_segment_rows(Xc_slab, None, segs_old, W_dp)
+            else:
+                Xe_old = None
             best = jnp.max(neg_sqrd_norms(Xc, means), axis=-1)
             best = best.reshape(B, N_max, W_dp)
             durs = dp_slice(seg_durs_blk).astype(best.dtype)
@@ -546,11 +555,15 @@ class SegmentalKMeansWordseg:
             )
 
             # Argmax re-assignment with the frozen means (:436-442).
-            new_embeds, _ = gather_block_segments(
+            new_embeds, segs_new = gather_block_segments(
                 new_bounds, lengths_blk, seg_ids_blk
             )
-            flat_new = new_embeds.reshape(-1)
-            Xn = X[jnp.maximum(flat_new, 0)]
+            if slab_ok:
+                Xe_new, _ = slab_segment_rows(Xc_slab, None, segs_new, W_dp)
+                Xn = Xe_new.reshape(-1, Xe_new.shape[-1])
+            else:
+                Xe_new = None
+                Xn = X[jnp.maximum(new_embeds.reshape(-1), 0)]
             new_ks = jnp.argmax(neg_sqrd_norms(Xn, means), axis=-1)
             new_ks = new_ks.reshape(new_embeds.shape).astype(jnp.int32)
             new_ks = jnp.where(new_embeds >= 0, new_ks, -1)
@@ -582,8 +595,10 @@ class SegmentalKMeansWordseg:
                 old_embeds >= 0,
                 state.assignments[jnp.maximum(old_embeds, 0)], -1,
             )
-            old_c = flat_contrib(X, old_embeds, old_ks, K_max, False, valid)
-            new_c = flat_contrib(X, new_embeds, new_ks, K_max, False, valid)
+            old_c = flat_contrib(X, old_embeds, old_ks, K_max, False, valid,
+                                 rows=Xe_old)
+            new_c = flat_contrib(X, new_embeds, new_ks, K_max, False, valid,
+                                 rows=Xe_new)
             d_counts, d_sum_x = reduce_fn((
                 new_c.counts - old_c.counts, new_c.sum_x - old_c.sum_x,
             ))

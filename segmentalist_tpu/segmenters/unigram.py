@@ -39,6 +39,7 @@ from .common import (
     leave_out_stats,
     masked_candidate_scores,
     pad_utterance_order,
+    slab_segment_rows,
     utterance_contrib,
 )
 
@@ -593,15 +594,15 @@ class UnigramAcousticWordseg:
         pallas_chain_ok = pallas and cov_type in ("fixed", "diag")
         lms_eff = 1.0 if viterbi_assign else lms
 
-        def assignment_chain(lo_b, params_b, embeds_b, gumb_b, temp):
+        def assignment_chain(lo_b, params_b, embeds_b, x_b, lp_b, gumb_b,
+                             temp):
             """Sequential within-utterance assignment resampling (reference
             gibbs_sample_inside_loop_i conditioning, fbgmm.py:422-463)."""
 
             def step(carry, inp):
                 stats_b, p_b = carry
-                e, g = inp
+                e, x, lp, g = inp
                 ok = e >= 0
-                x = X[jnp.maximum(e, 0)]
                 if viterbi_assign:
                     # map_assign_i omits the lms scaling (fbgmm.py:475-479).
                     w = log_weights(stats_b.counts, alpha, K_max, 1.0,
@@ -610,9 +611,7 @@ class UnigramAcousticWordseg:
                     w = log_weights(stats_b.counts, alpha, K_max, lms,
                                     include_denominator=False, dtype=x.dtype)
                 post = cov.log_post_pred(p_b, x)
-                logits = w + jnp.where(
-                    stats_b.counts > 0, post, log_prior_vec[jnp.maximum(e, 0)]
-                )
+                logits = w + jnp.where(stats_b.counts > 0, post, lp)
                 if viterbi_assign:
                     k = jnp.argmax(logits)
                 else:
@@ -625,16 +624,17 @@ class UnigramAcousticWordseg:
                 p_b = cov.update_predictive_row(prior, stats_b, p_b, k)
                 return (stats_b, p_b), jnp.where(ok, k.astype(jnp.int32), -1)
 
-            (_, _), ks = jax.lax.scan(step, (lo_b, params_b), (embeds_b, gumb_b))
+            (_, _), ks = jax.lax.scan(
+                step, (lo_b, params_b), (embeds_b, x_b, lp_b, gumb_b)
+            )
             return ks
 
-        def run_chains(lo, params_b, new_embeds, gumbel, temp):
+        def run_chains(lo, params_b, new_embeds, Xe, lpe, gumbel, temp):
             if pallas_chain_ok and cov_type == "fixed":
                 from ..ops.pallas_chain import fixedvar_chain
 
                 return fixedvar_chain(
-                    new_embeds, X[jnp.maximum(new_embeds, 0)],
-                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    new_embeds, Xe, lpe, gumbel,
                     lo.counts, lo.sum_x,
                     prior.var, prior.var_0, prior.mu_0, temp,
                     alpha=alpha, K=K_max, lms=lms_eff,
@@ -645,8 +645,7 @@ class UnigramAcousticWordseg:
                 from ..ops.pallas_chain import diag_chain
 
                 return diag_chain(
-                    new_embeds, X[jnp.maximum(new_embeds, 0)],
-                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    new_embeds, Xe, lpe, gumbel,
                     lo.counts, lo.sum_x, lo.sum_sq,
                     prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
                     temp, alpha=alpha, K=K_max, lms=lms_eff,
@@ -660,18 +659,17 @@ class UnigramAcousticWordseg:
                 from ..ops.pallas_chain import diag_chain_xla
 
                 return diag_chain_xla(
-                    new_embeds, X[jnp.maximum(new_embeds, 0)],
-                    log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                    new_embeds, Xe, lpe, gumbel,
                     lo.counts, lo.sum_x, lo.sum_sq,
                     prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
                     temp, alpha=alpha, K=K_max, lms=lms_eff,
                     use_argmax=viterbi_assign,
                 )
             return jax.vmap(
-                lambda lo_b, p_b, e_b, g_b: assignment_chain(
-                    lo_b, p_b, e_b, g_b, temp
+                lambda lo_b, p_b, e_b, x_b, lp_b, g_b: assignment_chain(
+                    lo_b, p_b, e_b, x_b, lp_b, g_b, temp
                 )
-            )(lo, params_b, new_embeds, gumbel)
+            )(lo, params_b, new_embeds, Xe, lpe, gumbel)
 
         from .fullcov import (
             corrected_candidate_post,
@@ -696,7 +694,7 @@ class UnigramAcousticWordseg:
             # 1. Current segments and leave-one-utterance-out stats
             #    (reference removes the utterance's embeddings before
             #    scoring, unigram_acoustic_wordseg.py:270-273).
-            old_embeds, _ = gather_block_segments(
+            old_embeds, segs_old = gather_block_segments(
                 bounds_blk, lengths_blk, seg_ids_blk
             )
             old_ks = jnp.where(
@@ -722,6 +720,14 @@ class UnigramAcousticWordseg:
             else:
                 Xc = cand_X_all[idx].reshape(B, N_max * W_dp, -1)
                 prior_c = cand_lp_all[idx].reshape(B, N_max * W_dp)
+            # Segment rows pulled from the candidate slab (one-hot MXU
+            # contraction) instead of tiny-row X gathers; valid whenever no
+            # stored segment can outrun the DP window.
+            slab_ok = W_store == W_dp
+            if slab_ok:
+                Xe_old, _ = slab_segment_rows(Xc, prior_c, segs_old, W_dp)
+            else:
+                Xe_old = None
             if cov_type == "full":
                 # Full covariance scores against the block-GLOBAL predictive
                 # parameters (one [K] Cholesky batch + one MXU matmul), then
@@ -734,7 +740,7 @@ class UnigramAcousticWordseg:
                 )
                 params_g = cov.predictive_params(prior, stats)
                 touched = touched_leave_out(prior, stats, X, old_embeds,
-                                            old_ks)
+                                            old_ks, rows=Xe_old)
                 if pallas:
                     post = None  # fused scoring below
                 else:
@@ -746,7 +752,7 @@ class UnigramAcousticWordseg:
             else:
                 lo = leave_out_stats(
                     stats, utterance_contrib(X, old_embeds, old_ks, K_max,
-                                             full_cov)
+                                             full_cov, rows=Xe_old)
                 )
                 lo_counts = lo.counts
                 params_b = jax.vmap(
@@ -809,9 +815,15 @@ class UnigramAcousticWordseg:
 
             # 4. Sequential assignment of the new segments
             #    (unigram_acoustic_wordseg.py:339-349).
-            new_embeds, _ = gather_block_segments(
+            new_embeds, segs_new = gather_block_segments(
                 new_bounds, lengths_blk, seg_ids_blk
             )
+            if slab_ok:
+                Xe_new, lpe_new = slab_segment_rows(Xc, prior_c, segs_new,
+                                                    W_dp)
+            else:
+                Xe_new = X[jnp.maximum(new_embeds, 0)]
+                lpe_new = log_prior_vec[jnp.maximum(new_embeds, 0)]
             gumbel = jax.random.gumbel(
                 k_assign, new_embeds.shape + (K_max,), dtype=X.dtype
             )
@@ -820,7 +832,7 @@ class UnigramAcousticWordseg:
                 # HIGHEST: these scores feed an argmax over K (see
                 # components_full.log_post_pred_batch docstring).
                 G_new = cov.log_post_pred_batch(
-                    params_g, X[jnp.maximum(new_embeds, 0)].reshape(B * S, -1),
+                    params_g, Xe_new.reshape(B * S, -1),
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape(B, S, K_max)
                 if pallas:
@@ -831,8 +843,7 @@ class UnigramAcousticWordseg:
                                             touched)
                     )
                     new_ks = fullcov_chain_pallas(
-                        new_embeds, X[jnp.maximum(new_embeds, 0)],
-                        log_prior_vec[jnp.maximum(new_embeds, 0)], gumbel,
+                        new_embeds, Xe_new, lpe_new, gumbel,
                         G_new, lo_counts, scnt0, tm0, tiP0, tld0, tk0,
                         g_m, g_iP, g_ld, float(prior.k_0), float(prior.v_0),
                         assign_temp, alpha=alpha, K=K_max, lms=lms_eff,
@@ -847,8 +858,8 @@ class UnigramAcousticWordseg:
                         use_argmax=viterbi_assign,
                     )
             else:
-                new_ks = run_chains(lo, params_b, new_embeds, gumbel,
-                                    assign_temp)
+                new_ks = run_chains(lo, params_b, new_embeds, Xe_new,
+                                    lpe_new, gumbel, assign_temp)
 
             # 5. Merge block updates into the global state (flat scatters on
             # both sides).  Under shard_map the deltas / assignment updates
@@ -856,10 +867,11 @@ class UnigramAcousticWordseg:
             # every shard ends the block with identical replicated state.
             old_ks_masked = jnp.where(valid[:, None], old_ks, -1)
             old_flat_contrib = flat_contrib(
-                X, old_embeds, old_ks_masked, K_max, full_cov, valid
+                X, old_embeds, old_ks_masked, K_max, full_cov, valid,
+                rows=Xe_old,
             )
             new_flat_contrib = flat_contrib(
-                X, new_embeds, new_ks, K_max, full_cov, valid
+                X, new_embeds, new_ks, K_max, full_cov, valid, rows=Xe_new
             )
             delta = reduce_fn(jax.tree.map(
                 lambda n, o: n - o, new_flat_contrib, old_flat_contrib
