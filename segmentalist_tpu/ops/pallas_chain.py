@@ -82,6 +82,26 @@ def _tile_step_bounds(embeds, S: int, B: int, B_pad: int, B_tile: int):
     )[:, None]
 
 
+def _length_sort(embeds):
+    """Ascending-by-segment-count utterance permutation (and its inverse).
+
+    The chain kernels run one sequential program per ``B_tile`` utterances,
+    bounded by the tile's max segment count (``_tile_step_bounds``).  With
+    utterances in corpus order every tile pays its own tail max, while
+    sorted tiles are length-homogeneous, so the summed sequential step
+    count approaches the corpus MEAN segment count instead of
+    ``n_tiles x max``.  Chains are per-utterance independent, so sorting
+    the inputs and unsorting the sampled assignments is exact (same noise
+    row stays with the same utterance)."""
+    S = embeds.shape[1]
+    n_valid = jnp.max(
+        jnp.where(embeds >= 0,
+                  jnp.arange(S, dtype=jnp.int32)[None, :] + 1, 0),
+        axis=1)
+    perm = jnp.argsort(n_valid)
+    return perm, jnp.argsort(perm)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("alpha", "K", "lms", "use_argmax", "interpret"),
@@ -118,6 +138,12 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         * 1.3,
         32, B, budget=13.5 * 2 ** 20)
     B_pad = _round_up(B, B_tile)
+    inv = None
+    if B_pad // B_tile > 1:
+        perm, inv = _length_sort(embeds)
+        embeds, Xe, log_prior_e, gumbel, counts, sum_x = (
+            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, counts,
+                              sum_x))
     dtype = Xe.dtype
     Kf = float(K)
 
@@ -270,7 +296,8 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         interpret=interpret,
     )(temp_in, _tile_step_bounds(embeds, S, B, B_pad, B_tile),
       prec_c, prec0_c, p0m0_c, okf, logp, xeT, gumb, counts_f, sumx)
-    return ks[:B, :, 0]
+    ks = ks[:B, :, 0]
+    return ks if inv is None else ks[inv]
 
 
 @functools.partial(
@@ -310,6 +337,12 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         4.0 * (2 * S * K_pad + 6 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
         8, B, shared_bytes=4.0 * K_pad * K_pad)
     B_pad = _round_up(B, B_tile)
+    inv = None
+    if B_pad // B_tile > 1:
+        perm, inv = _length_sort(embeds)
+        (embeds, Xe, log_prior_e, gumbel, counts, sum_x, uni_lo, corr_j,
+         corr_i) = (a[perm] for a in (embeds, Xe, log_prior_e, gumbel,
+                                      counts, sum_x, uni_lo, corr_j, corr_i))
     dtype = Xe.dtype
     Kf = float(K)
 
@@ -507,7 +540,8 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     )(temp_in, _tile_step_bounds(embeds, S, B, B_pad, B_tile),
       prec_c, prec0_c, p0m0_c, big, logp, okf, cj, xeT, gumb, counts_f,
       sumx, uni, oh_pi)
-    return ks[:B, :, 0]
+    ks = ks[:B, :, 0]
+    return ks if inv is None else ks[inv]
 
 
 def _lgamma_stirling(z):
@@ -560,6 +594,12 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
         4.0 * (S * K_pad + 8 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
         8, B)
     B_pad = _round_up(B, B_tile)
+    inv = None
+    if B_pad // B_tile > 1:
+        perm, inv = _length_sort(embeds)
+        embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq = (
+            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, counts,
+                              sum_x, sum_sq))
     dtype = Xe.dtype
     Kf = float(K)
     k0 = float(k_0)
@@ -742,7 +782,8 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
         interpret=interpret,
     )(temp_in, _tile_step_bounds(embeds, S, B, B_pad, B_tile),
       m0_c, snp0_c, logp, okf, xeT, gumb, counts_f, sumx, sumsq)
-    return ks[:B, :, 0]
+    ks = ks[:B, :, 0]
+    return ks if inv is None else ks[inv]
 
 
 def _diag_chain_xla_core(m_0, k0: float, v0: float, S_0, temp, K: int,
@@ -940,6 +981,13 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
         4.0 * (2 * S * K_pad + 9 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
         8, B, shared_bytes=4.0 * K_pad * K_pad)
     B_pad = _round_up(B, B_tile)
+    inv = None
+    if B_pad // B_tile > 1:
+        perm, inv = _length_sort(embeds)
+        (embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq, uni_lo,
+         corr_j, corr_i) = (
+            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, counts,
+                              sum_x, sum_sq, uni_lo, corr_j, corr_i))
     dtype = Xe.dtype
     Kf = float(K)
     k0 = float(k_0)
@@ -1165,7 +1213,8 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     )(temp_in, _tile_step_bounds(embeds, S, B, B_pad, B_tile),
       m0_c, snp0_c, big, logp, okf, cj, xeT, gumb, counts_f, sumx,
       sumsq, uni, oh_pi)
-    return ks[:B, :, 0]
+    ks = ks[:B, :, 0]
+    return ks if inv is None else ks[inv]
 
 
 @functools.partial(
@@ -1250,6 +1299,17 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
         16, B,
         shared_bytes=4.0 * K_pad * (256 + 128 + 1 + bigram * K_pad))
     B_pad = _round_up(B, B_tile)
+    inv = None
+    if B_pad // B_tile > 1:
+        perm, inv = _length_sort(embeds)
+        (embeds, Xe, log_prior_e, gumbel, base_scores, lo_counts,
+         slot_cnt0, t_m0, t_invP0, t_ldP0, tk0) = (
+            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, base_scores,
+                              lo_counts, slot_cnt0, t_m0, t_invP0, t_ldP0,
+                              tk0))
+        if bigram:
+            uni_lo, corr_j, corr_i = (
+                a[perm] for a in (uni_lo, corr_j, corr_i))
     dtype = Xe.dtype
     Kf = float(K)
     k0 = float(k_0)
@@ -1565,4 +1625,5 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
         out_shape=jax.ShapeDtypeStruct((B_pad, S, 1), jnp.int32),
         interpret=interpret,
     )(*inputs)
-    return ks[:B, :, 0]
+    ks = ks[:B, :, 0]
+    return ks if inv is None else ks[inv]

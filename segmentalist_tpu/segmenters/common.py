@@ -264,6 +264,41 @@ def merge_contribs(global_stats: SuffStats, old: SuffStats, new: SuffStats,
     )
 
 
+def merge_assignments(assignments: Array, valid: Array, old_embeds: Array,
+                      new_embeds: Array, new_ks: Array, reduce_fn) -> Array:
+    """Merge a block's assignment updates into the global vector.
+
+    Updates are disjoint across utterances (each embedding row belongs to
+    exactly one), so a mask/value pair scattered with an out-of-bounds
+    sentinel + ``mode="drop"`` merges exactly -- locally and, psum'ed by
+    ``reduce_fn``, across shard_map shards (every shard ends the block
+    with identical replicated state).  Old segments clear to -1 first;
+    new segments overwrite, so same-utterance overlap resolves new-wins
+    (the two scatters are applied in that order to the same value vector).
+
+    Re-implements the reference's per-utterance del/assign pairs
+    (unigram_acoustic_wordseg.py:270-273, :339-349) as batched scatters.
+    """
+    vmask = valid[:, None]
+    oob = assignments.shape[0]
+    mask = jnp.zeros((oob,), jnp.int32)
+    val = jnp.zeros((oob,), jnp.int32)
+    old_flat = jnp.where(
+        vmask & (old_embeds >= 0), old_embeds, oob
+    ).reshape(-1)
+    mask = mask.at[old_flat].set(1, mode="drop")
+    val = val.at[old_flat].set(-1, mode="drop")
+    new_flat = jnp.where(
+        vmask & (new_embeds >= 0), new_embeds, oob
+    ).reshape(-1)
+    mask = mask.at[new_flat].set(1, mode="drop")
+    val = val.at[new_flat].set(
+        new_ks.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    mask, val = reduce_fn((mask, val))
+    return jnp.where(mask > 0, val, assignments)
+
+
 # ---------------------------------------------------------------------------#
 #                         candidate segment scoring                           #
 # ---------------------------------------------------------------------------#

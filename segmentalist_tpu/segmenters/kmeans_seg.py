@@ -36,6 +36,7 @@ from ..ops.random import NEG_INF
 from .common import (
     flat_contrib,
     gather_block_segments,
+    merge_assignments,
     pad_utterance_order,
     slab_segment_rows,
 )
@@ -571,22 +572,10 @@ class SegmentalKMeansWordseg:
             # Apply: merge the (disjoint) assignment updates -- psum'ed
             # across shards under shard_map -- then rebuild the stats from
             # the merged vector, identically everywhere.
-            vmask = valid[:, None]
-            oob = state.assignments.shape[0]
-            mask = jnp.zeros((oob,), jnp.int32)
-            val = jnp.zeros((oob,), jnp.int32)
-            old_flat = jnp.where(
-                vmask & (old_embeds >= 0), old_embeds, oob
-            ).reshape(-1)
-            mask = mask.at[old_flat].set(1, mode="drop")
-            val = val.at[old_flat].set(-1, mode="drop")
-            new_flat = jnp.where(
-                vmask & (new_embeds >= 0), new_embeds, oob
-            ).reshape(-1)
-            mask = mask.at[new_flat].set(1, mode="drop")
-            val = val.at[new_flat].set(new_ks.reshape(-1), mode="drop")
-            mask, val = reduce_fn((mask, val))
-            assignments = jnp.where(mask > 0, val, state.assignments)
+            assignments = merge_assignments(
+                state.assignments, valid, old_embeds, new_embeds, new_ks,
+                reduce_fn,
+            )
             # Delta statistics update (additive, so it psums across shards
             # exactly like the assignment mask): rebuilding from the full
             # [N] assignment vector cost two segment-sums over the whole

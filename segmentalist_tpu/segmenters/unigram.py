@@ -38,6 +38,7 @@ from .common import (
     gather_block_segments,
     leave_out_stats,
     masked_candidate_scores,
+    merge_assignments,
     pad_utterance_order,
     slab_segment_rows,
     utterance_contrib,
@@ -880,28 +881,9 @@ class UnigramAcousticWordseg:
                 lambda g, d: (g + d).astype(g.dtype), stats, delta
             )
 
-            # Assignment updates are disjoint across utterances (each
-            # embedding row belongs to exactly one), so a mask/value pair
-            # scattered with an out-of-bounds sentinel + mode="drop" merges
-            # exactly -- locally and across shards.
-            vmask = valid[:, None]
-            oob = assignments.shape[0]
-            mask = jnp.zeros((oob,), jnp.int32)
-            val = jnp.zeros((oob,), jnp.int32)
-            old_flat = jnp.where(
-                vmask & (old_embeds >= 0), old_embeds, oob
-            ).reshape(-1)
-            mask = mask.at[old_flat].set(1, mode="drop")
-            val = val.at[old_flat].set(-1, mode="drop")
-            new_flat = jnp.where(
-                vmask & (new_embeds >= 0), new_embeds, oob
-            ).reshape(-1)
-            mask = mask.at[new_flat].set(1, mode="drop")
-            val = val.at[new_flat].set(
-                new_ks.reshape(-1).astype(jnp.int32), mode="drop"
+            assignments = merge_assignments(
+                assignments, valid, old_embeds, new_embeds, new_ks, reduce_fn
             )
-            mask, val = reduce_fn((mask, val))
-            assignments = jnp.where(mask > 0, val, assignments)
 
             idx_w = jnp.where(valid, idx, boundaries.shape[0])
             boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")

@@ -605,3 +605,81 @@ def test_chain_pad_patterns_dynamic_bound():
         alpha=1.0, K=K, lms=1.0, interpret=True)
     npt.assert_array_equal(np.asarray(xla_ks), np.asarray(pal_ks))
     assert (np.asarray(pal_ks)[2] == -1).all()
+
+
+def test_length_sorted_tiling_matches_per_utterance_calls():
+    """The wrappers sort utterances by segment count before tiling
+    (``_length_sort``) so tile step bounds are homogeneous; the batched
+    result must equal per-utterance (B=1, single-tile, unsorted) calls on
+    every chain family.  B exceeds the tile caps, so the sorted multi-tile
+    path is actually exercised."""
+    from segmentalist_tpu.models import components_diag as dcov
+    from segmentalist_tpu.ops.pallas_chain import diag_chain
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(21)
+
+    # fixedvar: B=40 > the 32-utterance tile cap -> 2 tiles.
+    B, S, D, K = 40, 7, 4, 10
+    N = 64
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    prior = FixedVarPrior.create(
+        0.1 * np.ones(D, np.float32), np.zeros(D, np.float32),
+        np.ones(D, np.float32))
+    counts = rng.randint(0, 4, (B, K)).astype(np.int32)
+    sum_x = (counts[..., None] * rng.randn(B, K, D) * 0.2).astype(np.float32)
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    # Heterogeneous lengths: utterance b keeps 1 + (b % S) leading segments.
+    for b in range(B):
+        embeds[b, 1 + (b % S):] = -1
+    gumb = np.asarray(jax.random.gumbel(jax.random.PRNGKey(3), (B, S, K))
+                      ).astype(np.float32)
+    lpv = cov.log_prior_batch(prior, X)
+    args = dict(var=prior.var, var_0=prior.var_0, mu_0=prior.mu_0,
+                temp=jnp.float32(0.8), alpha=1.0, K=K, lms=1.1,
+                interpret=True)
+    Xe = X[jnp.maximum(jnp.asarray(embeds), 0)]
+    lpe = lpv[jnp.maximum(jnp.asarray(embeds), 0)]
+    batched = np.asarray(fixedvar_chain(
+        jnp.asarray(embeds), Xe, lpe, jnp.asarray(gumb),
+        jnp.asarray(counts), jnp.asarray(sum_x), **args))
+    for b in range(0, B, 7):
+        single = np.asarray(fixedvar_chain(
+            jnp.asarray(embeds[b:b + 1]), Xe[b:b + 1], lpe[b:b + 1],
+            jnp.asarray(gumb[b:b + 1]), jnp.asarray(counts[b:b + 1]),
+            jnp.asarray(sum_x[b:b + 1]), **args))
+        npt.assert_array_equal(batched[b], single[0], err_msg=f"utt {b}")
+
+    # diag: B=20 > the 8-utterance tile cap -> 3 tiles.
+    B, S, D, K = 20, 6, 3, 9
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    nprior = NIW.create(np.zeros(D, np.float32), 1.5, 5.0,
+                        0.4 * np.ones(D, np.float32))
+    counts = rng.randint(0, 5, (B, K)).astype(np.int32)
+    Z = rng.randn(B, K, D).astype(np.float32)
+    sum_x = (counts[..., None] * Z * 0.2).astype(np.float32)
+    sum_sq = np.abs(counts[..., None] * (Z * Z * 0.1 + 0.5)).astype(
+        np.float32) + (sum_x ** 2) / np.maximum(counts[..., None], 1)
+    embeds = rng.randint(0, N, (B, S)).astype(np.int32)
+    for b in range(B):
+        embeds[b, 1 + (b % S):] = -1
+    gumb = np.asarray(jax.random.gumbel(jax.random.PRNGKey(4), (B, S, K))
+                      ).astype(np.float32)
+    lpv = dcov.log_prior_batch(nprior, X)
+    Xe = X[jnp.maximum(jnp.asarray(embeds), 0)]
+    lpe = lpv[jnp.maximum(jnp.asarray(embeds), 0)]
+    dargs = dict(m_0=nprior.m_0, k_0=float(nprior.k_0),
+                 v_0=float(nprior.v_0), S_0=nprior.S_0,
+                 temp=jnp.float32(0.9), alpha=1.0, K=K, lms=1.2,
+                 interpret=True)
+    batched = np.asarray(diag_chain(
+        jnp.asarray(embeds), Xe, lpe, jnp.asarray(gumb),
+        jnp.asarray(counts), jnp.asarray(sum_x), jnp.asarray(sum_sq),
+        **dargs))
+    for b in range(0, B, 5):
+        single = np.asarray(diag_chain(
+            jnp.asarray(embeds[b:b + 1]), Xe[b:b + 1], lpe[b:b + 1],
+            jnp.asarray(gumb[b:b + 1]), jnp.asarray(counts[b:b + 1]),
+            jnp.asarray(sum_x[b:b + 1]), jnp.asarray(sum_sq[b:b + 1]),
+            **dargs))
+        npt.assert_array_equal(batched[b], single[0], err_msg=f"utt {b}")
