@@ -133,10 +133,16 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     # mu / pp carries [D_pad, K_pad] + vectors); 32-utterance tiles fit at
     # benchmark scale and halve the sequential program count (10.3 -> 10.0
     # ms/sweep, round 3); long utterances fall back to smaller tiles.
-    B_tile = _pick_b_tile(
-        4.0 * (S * K_pad + 3 * D_pad * K_pad + 2 * D_pad * S + 2 * K_pad)
-        * 1.3,
-        32, B, budget=13.5 * 2 ** 20)
+    per_utt = 4.0 * (S * K_pad + 3 * D_pad * K_pad + 2 * D_pad * S
+                     + 2 * K_pad) * 1.3
+    B_tile = _pick_b_tile(per_utt, 32, B, budget=13.5 * 2 ** 20)
+    if _round_up(B, B_tile) // B_tile > 8:
+        # Mosaic's scoped-VMEM footprint grows with the grid size (input
+        # prefetch buffering): 32-utterance tiles compile at <= 8 programs
+        # (benchmark scale, B=125/250) but blew the 16 MB limit by 2 MB at
+        # 16 programs (B=512, measured round 3).  Larger batches re-pick
+        # with a stricter budget.
+        B_tile = _pick_b_tile(per_utt, 32, B, budget=11 * 2 ** 20)
     B_pad = _round_up(B, B_tile)
     inv = None
     if B_pad // B_tile > 1:
@@ -676,10 +682,16 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
 
             v_n = v0 + counts_f
             delta = x - mu
-            t1 = jnp.sum(
-                jnp.log1p(delta * delta / (var * v_n) * dmask)
-                * dmask, axis=1, keepdims=True,
-            )
+            # Student-t sum of per-dim log1p as logs of stride-4 sublane-
+            # group products (factors >= 1; a 4-dim group cannot overflow
+            # f32 for any plausible ratio): one transcendental per GROUP.
+            # The XLA twin (_diag_chain_xla_core) uses the same grouping
+            # and multiply order so chains stay bit-identical.
+            ratio = 1.0 + delta * delta / (var * v_n) * dmask  # pads -> 1
+            pgrp = ratio[:, 0:4, :]
+            for _g in range(1, D_pad // 4):
+                pgrp = pgrp * ratio[:, 4 * _g:4 * (_g + 1), :]
+            t1 = jnp.sum(jnp.log(pgrp), axis=1, keepdims=True)
             post = (
                 D * (gr - 0.5 * jnp.log(v_n) - 0.5 * math.log(math.pi))
                 - 0.5 * lpv
@@ -821,9 +833,18 @@ def _diag_chain_xla_core(m_0, k0: float, v0: float, S_0, temp, K: int,
             ok = e >= 0
             v_n = v0 + counts_f
             delta = x[None, :] - mu
-            t1 = jnp.sum(
-                jnp.log1p(delta * delta / (var * v_n[:, None])), axis=-1
-            )
+            # The kernel's stride-4 sublane-group product composition
+            # (pads are exact 1.0 factors), same multiply order, so the
+            # chains remain bit-identical on shared noise.
+            Dp = -(-max(D, 8) // 8) * 8
+            ratio = jnp.pad(
+                1.0 + delta * delta / (var * v_n[:, None]),
+                ((0, 0), (0, Dp - D)), constant_values=1.0,
+            ).reshape(-1, Dp // 4, 4)
+            pgrp = ratio[:, 0, :]
+            for _g in range(1, Dp // 4):
+                pgrp = pgrp * ratio[:, _g, :]
+            t1 = jnp.sum(jnp.log(pgrp), axis=-1)
             post = (
                 D * (gr - 0.5 * jnp.log(v_n) - 0.5 * math.log(math.pi))
                 - 0.5 * lpv
@@ -1106,10 +1127,16 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
 
             v_n = v0 + counts_f
             delta = x - mu
-            t1 = jnp.sum(
-                jnp.log1p(delta * delta / (var * v_n) * dmask)
-                * dmask, axis=1, keepdims=True,
-            )
+            # Student-t sum of per-dim log1p as logs of stride-4 sublane-
+            # group products (factors >= 1; a 4-dim group cannot overflow
+            # f32 for any plausible ratio): one transcendental per GROUP.
+            # The XLA twin (_diag_chain_xla_core) uses the same grouping
+            # and multiply order so chains stay bit-identical.
+            ratio = 1.0 + delta * delta / (var * v_n) * dmask  # pads -> 1
+            pgrp = ratio[:, 0:4, :]
+            for _g in range(1, D_pad // 4):
+                pgrp = pgrp * ratio[:, 4 * _g:4 * (_g + 1), :]
+            t1 = jnp.sum(jnp.log(pgrp), axis=1, keepdims=True)
             post = (
                 D * (gr - 0.5 * jnp.log(v_n) - 0.5 * math.log(math.pi))
                 - 0.5 * lpv

@@ -223,13 +223,22 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
         real = lane_k < K
         for u in range(B_tile):
             x = xq_ref[u]                          # [M_tile, D_pad]
+            # Sum of per-dimension log1p as a log of grouped products:
+            # each factor 1 + delta^2 * ivv >= 1, so a 4-dim group product
+            # stays in f32 range unless a single dim reaches ~1e9 (3e4
+            # sigma); one transcendental per GROUP instead of per dim cuts
+            # the kernel's dominant cost ~3x (log1p over [M, K] x D was
+            # ~1.6G evaluations per flagship-scale sweep).
             acc = jnp.zeros((M_tile, K_pad), dtype)
-            for d in range(D):
-                xd = x[:, d:d + 1]                 # [M_pad, 1]
-                mud = muT_ref[u][d:d + 1, :]       # [1, K_pad]
-                ivvd = ivvT_ref[u][d:d + 1, :]
-                delta = xd - mud
-                acc = acc + jnp.log1p(delta * delta * ivvd)
+            for d0 in range(0, D, 4):
+                prod = jnp.ones((M_tile, K_pad), dtype)
+                for d in range(d0, min(d0 + 4, D)):
+                    xd = x[:, d:d + 1]             # [M_pad, 1]
+                    mud = muT_ref[u][d:d + 1, :]   # [1, K_pad]
+                    ivvd = ivvT_ref[u][d:d + 1, :]
+                    delta = xd - mud
+                    prod = prod * (1.0 + delta * delta * ivvd)
+                acc = acc + jnp.log(prod)
             post = const_ref[u] - vh_ref[u] * acc
             logits = w_ref[u] + jnp.where(cnt_ref[u] > 0.0, post, pc_ref[u])
             logits = jnp.where(real, logits, NEG_INF)
