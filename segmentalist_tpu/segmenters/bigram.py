@@ -30,6 +30,7 @@ from ..models.bigram_lm import (
     BigramLMState,
     BigramSmoothLM,
     add_block_counts,
+    block_count_delta,
     transcript_pairs_batch,
 )
 from ..ops import dp as dp_ops
@@ -693,54 +694,33 @@ class BigramAcousticWordseg:
         lam, a, b, K = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         dtype = self.acoustic_model.X.dtype
 
-        def counts_before_batched(ev_keys, ev_valid, q_keys, q_valid,
-                                  sentinels):
-            """count[g, t] = #{s : ev_valid[g, s], ev_keys[g, s] ==
-            q_keys[g, t], s < t} for G independent key spaces in ONE sort.
+        def self_ranks(keys):
+            """rank[g, t] = #{s < t : keys[g, s] == keys[g, t]} for G
+            independent key spaces in ONE batched sort.
 
-            Fully parallel replacement for replay counting: sort
-            (key, 2*time + is_event) so each query lands just before the
-            same-time event, then the count is the exclusive
-            event-prefix-sum within the key group.  (The reference replays
-            the corpus sequentially, bigram_acoustic_wordseg.py:287-305;
-            ranks among equal keys in the fixed replay order are the same
-            numbers.)  The G query groups ride one batched ``lax.sort``:
-            TPU sorts are pass-heavy, so 1 sort of [G, 2T] beats G sorts of
-            [2T] roughly G-fold.
+            Fully parallel replacement for replay counting (the reference
+            replays the corpus sequentially,
+            bigram_acoustic_wordseg.py:287-305; ranks among equal keys in
+            the fixed replay order are the same numbers).  Sort
+            (key, position): within an equal-key run the rank is the offset
+            from the run start; scatter the ranks back by the position
+            payload (a permutation, so every update lands).
             """
-            G, T = ev_keys.shape
-            times = jnp.arange(T, dtype=jnp.int32)[None, :]
-            ke = jnp.where(ev_valid, ev_keys, sentinels[:, None])
-            kq = jnp.where(q_valid, q_keys, sentinels[:, None] + 1)
-            keys = jnp.concatenate([ke, kq], axis=1)  # [G, 2T]
-            # 2*time + is_event: a query sorts just BEFORE its own token's
-            # event at the same (key, time), so it never counts itself.
-            tt = jnp.concatenate(
-                [times * 2 + 1, times * 2], axis=1
-            ) * jnp.ones((G, 1), jnp.int32)
-            qpos = jnp.concatenate([
-                jnp.full((G, T), -1, jnp.int32),
-                jnp.broadcast_to(times, (G, T)),
-            ], axis=1)
-            sk, stt, sq = jax.lax.sort((keys, tt, qpos), dimension=1,
-                                       num_keys=2)
-            se = stt & 1
-            csum_ex = jnp.cumsum(se, axis=1) - se  # events strictly before
-            iota = jnp.arange(2 * T, dtype=jnp.int32)[None, :]
+            G, T = keys.shape
+            iota = jnp.arange(T, dtype=jnp.int32)[None, :]
+            pos = jnp.broadcast_to(iota, (G, T))
+            sk, sp = jax.lax.sort((keys, pos), dimension=1, num_keys=2)
             first = jnp.concatenate(
                 [jnp.ones((G, 1), bool), sk[:, 1:] != sk[:, :-1]], axis=1
             )
-            start_idx = jax.lax.cummax(jnp.where(first, iota, 0), axis=1)
-            base = jnp.take_along_axis(csum_ex, start_idx, axis=1)
-            cnt = csum_ex - base
+            start = jax.lax.cummax(jnp.where(first, iota, 0), axis=1)
+            rank = iota - start
             g_idx = jnp.arange(G, dtype=jnp.int32)[:, None]
-            out = jnp.zeros((G, T), cnt.dtype).at[
-                g_idx, jnp.where(sq >= 0, sq, T)
-            ].set(cnt, mode="drop")
-            return out
+            return jnp.zeros((G, T), rank.dtype).at[g_idx, sp].set(rank)
 
         @jax.jit
         def log_prob_z(transcripts):
+            U, S = transcripts.shape
             pj, pi = transcript_pairs_batch(transcripts)
             flat_j = pj.reshape(-1)
             flat_i = pi.reshape(-1)
@@ -750,16 +730,30 @@ class BigramAcousticWordseg:
                         - valid.astype(jnp.int32))
             i_s = jnp.maximum(flat_i, 0)
             j_s = jnp.maximum(flat_j, 0)
-            pair = j_s * K + i_s
             pair_valid = valid & has_prev
-            ranks = counts_before_batched(
-                jnp.stack([i_s, i_s, pair]),
-                jnp.stack([valid, valid, pair_valid]),
-                jnp.stack([i_s, j_s, pair]),
-                jnp.stack([valid, has_prev, pair_valid]),
-                jnp.asarray([K, K, K * K], jnp.int32),
+            # Two self-rank groups: token keys (unigram numerator) and
+            # (prev, cur) pair keys (bigram numerator).  The bigram
+            # DENOMINATOR — #{key-j tokens before the pair} — needs no
+            # third group: the pair immediately follows its prev token in
+            # replay order, so it equals rank_uni[prev] + 1.
+            tok_key = jnp.where(valid, i_s, K)
+            pair_key = jnp.where(pair_valid, j_s * K + i_s, K * K)
+            ranks = self_ranks(jnp.stack([tok_key, pair_key]))
+            rank_uni, rank_big = ranks[0], ranks[1]
+            # rank_uni at each token's previous valid position (+1 for the
+            # prev token itself), recovered with the same encoded cummax as
+            # transcript_pairs_batch.
+            pos2 = jnp.arange(S, dtype=jnp.int32)[None, :]
+            validm = valid.reshape(U, S)
+            idx = jnp.where(validm, pos2, -1)
+            inc = jax.lax.cummax(idx, axis=1)
+            prev = jnp.concatenate(
+                [jnp.full((U, 1), -1, inc.dtype), inc[:, :-1]], axis=1
             )
-            rank_uni, uni_j_before, rank_big = ranks[0], ranks[1], ranks[2]
+            r_u_prev = jnp.take_along_axis(
+                rank_uni.reshape(U, S), jnp.maximum(prev, 0), axis=1
+            ).reshape(-1)
+            uni_j_before = r_u_prev + 1
             p_uni = (rank_uni.astype(dtype) + a / K) / (
                 n_before.astype(dtype) + a
             )
@@ -1160,13 +1154,8 @@ class BigramAcousticWordseg:
                                             rows=Xe_old)
             new_flat_contrib = flat_contrib(X, new_embeds, new_ks, K_max,
                                             full_cov, valid, rows=Xe_new)
-            zero_lm = BigramLMState(
-                unigram_counts=jnp.zeros((K_max,), jnp.int32),
-                bigram_counts=jnp.zeros((K_max, K_max), jnp.int32),
-            )
-            lm_delta = add_block_counts(
-                add_block_counts(zero_lm, old_ks, valid, sign=-1),
-                new_ks, valid, sign=1,
+            lm_delta = block_count_delta(
+                old_ks, new_ks, valid, K_max, pairs_old=(pj, pi)
             )
             stats_delta = jax.tree.map(
                 lambda n, o: n - o, new_flat_contrib, old_flat_contrib

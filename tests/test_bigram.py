@@ -192,6 +192,35 @@ def test_add_block_counts_matches_sequential():
                            np.asarray(seq.bigram_counts))
 
 
+def test_block_count_delta_matches_scatter_path():
+    """The signed one-hot MXU count delta (block_count_delta) must equal the
+    scatter-based remove-old/add-new composition exactly (one-hot and sign
+    values are bf16-exact, so the default-precision matmul is integer-exact)."""
+    import jax.numpy as jnp
+    from segmentalist_tpu.models.bigram_lm import (
+        add_block_counts, block_count_delta, empty_lm_state,
+        transcript_pairs_batch)
+
+    rng = np.random.RandomState(7)
+    K, B, S = 11, 8, 7
+    for trial in range(3):
+        old = rng.randint(-1, K, (B, S)).astype(np.int32)
+        new = rng.randint(-1, K, (B, S)).astype(np.int32)
+        valid = rng.rand(B) < 0.75
+        ref = add_block_counts(
+            add_block_counts(empty_lm_state(K), jnp.asarray(old),
+                             jnp.asarray(valid), sign=-1),
+            jnp.asarray(new), jnp.asarray(valid), sign=1)
+        for pairs_old in (None, transcript_pairs_batch(jnp.asarray(old))):
+            got = block_count_delta(jnp.asarray(old), jnp.asarray(new),
+                                    jnp.asarray(valid), K,
+                                    pairs_old=pairs_old)
+            npt.assert_array_equal(np.asarray(got.unigram_counts),
+                                   np.asarray(ref.unigram_counts))
+            npt.assert_array_equal(np.asarray(got.bigram_counts),
+                                   np.asarray(ref.bigram_counts))
+
+
 def test_log_prob_z_parallel_matches_python_replay():
     """The sort-based parallel log_prob_z must equal a direct python replay
     of the reference recursion (bigram_acoustic_wordseg.py:287-305)."""
