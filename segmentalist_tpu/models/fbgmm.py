@@ -659,6 +659,12 @@ class _ComponentsView:
         return self._o.stats.counts
 
     @property
+    def prior(self):
+        """The component prior (reference stores expose ``self.prior``,
+        e.g. gaussian_components.py:84)."""
+        return self._o.prior
+
+    @property
     def assignments(self):
         return self._o.assignments
 

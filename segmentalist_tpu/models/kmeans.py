@@ -253,6 +253,63 @@ class _KMeansComponentsView:
     def get_max_assignments(self, list_of_i):
         return self._o.get_max_assignments(list_of_i)
 
+    @property
+    def random_means(self):
+        return self._o.random_means
+
+    def setup_random_means(self):
+        """Redraw the empty-slot fallback means from the data (reference
+        ``setup_random_means``, kmeans_components.py:90-91)."""
+        o = self._o
+        rand = o.rng if o.rng is not None else np.random
+        choice = rand.randint(0, o.N, o.K_max)
+        o.random_means = o.X[jnp.asarray(choice)]
+
+    def add_item(self, i: int, k: int):
+        """Assign ``X[i]`` to slot ``k`` (reference ``add_item``,
+        kmeans_components.py:93-111).  Slot-masked design: component labels
+        are stable, so "add a new component" means assigning to any empty
+        slot — ``k`` is used as given (clamped to the slot range) rather
+        than compacted onto ``K``."""
+        o = self._o
+        k = int(min(max(k, 0), o.K_max - 1))
+        st = o.state
+        assert int(st.assignments[i]) == -1
+        o.state = KMeansState(
+            assignments=st.assignments.at[i].set(k),
+            counts=st.counts.at[k].add(1),
+            sum_x=st.sum_x.at[k].add(o.X[i]),
+        )
+
+    def del_item(self, i: int):
+        """Remove ``X[i]`` from its component (reference ``del_item``,
+        kmeans_components.py:113-147, without the ``no_empty``
+        re-initialisation — empty slots fall back to ``random_means``)."""
+        o = self._o
+        st = o.state
+        k = int(st.assignments[i])
+        if k < 0:
+            return
+        o.state = KMeansState(
+            assignments=st.assignments.at[i].set(-1),
+            counts=st.counts.at[k].add(-1),
+            sum_x=st.sum_x.at[k].add(-o.X[i]),
+        )
+
+    def del_component(self, k: int):
+        """Remove component ``k``: unassign its members and zero its
+        statistics (reference ``del_component``,
+        kmeans_components.py:149-166).  No swap-with-last relabelling —
+        slot masking keeps labels stable (ops/stats.py docstring)."""
+        o = self._o
+        st = o.state
+        members = st.assignments == k
+        o.state = KMeansState(
+            assignments=jnp.where(members, -1, st.assignments),
+            counts=st.counts.at[k].set(0),
+            sum_x=st.sum_x.at[k].set(0.0),
+        )
+
     def clean_components(self):
         # Masked design: empty components are already "clean" (no relabelling).
         pass
