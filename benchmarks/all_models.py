@@ -29,7 +29,11 @@ D = 13
 K = 1000
 W = 6
 B = 125
-SWEEPS = 20
+# 64 sweeps x best-of-2: the end-of-call fetch RPC (30-150 ms) must be
+# amortised below the noise floor now that the fast families run ~3-8
+# ms/sweep (20 sweeps of k-means is only ~66 ms of device time).
+SWEEPS = 64
+TIMED_CALLS = 2
 
 
 def corpus():
@@ -50,9 +54,11 @@ def run(name, build, sample):
 
     sample(seg, _WORDSEG_CHUNK)
     compile_s = time.time() - t0
-    t0 = time.time()
-    rec = sample(seg, SWEEPS)
-    per_sweep = (time.time() - t0) / SWEEPS
+    per_sweep = float("inf")
+    for _ in range(TIMED_CALLS):
+        t0 = time.time()
+        rec = sample(seg, SWEEPS)
+        per_sweep = min(per_sweep, (time.time() - t0) / SWEEPS)
     from segmentalist_tpu.utils.synth import boundary_f_score
 
     seg._sync_boundaries_to_host()
