@@ -280,3 +280,138 @@ def test_shard_map_single_move_matches_exact_kernel():
         sorted(((key, round(exact[key], 4), round(emp[key], 4))
                 for key in exact), key=lambda r: -r[1])[:8],
     )
+
+
+# --------------------------------------------------------------------------
+# Annealed move: the backward segmentation draw and (with anneal_gibbs_am)
+# the assignment chain draws are tempered per step.
+
+def _build_two_landmark_segmenter():
+    """Utterance 0: 2 landmarks (one backward DP draw, so the annealed
+    pattern distribution is exactly softmax(pattern_logp / T)); utterance 1:
+    one landmark of held-out context."""
+    rng = np.random.RandomState(8)
+    emb0 = rng.randn(3, 1) * 1.2
+    emb1 = np.array([[0.4]])
+    embedding_mats = {"u0": emb0, "u1": emb1}
+    vec_ids_dict = {"u0": np.arange(3), "u1": np.array([0])}
+    durations_dict = {"u0": [1, 2, 1], "u1": [1]}
+    landmarks_dict = {"u0": [1, 2], "u1": [1]}
+    prior = FixedVarPrior.create(VAR * np.ones(1), MU0 * np.ones(1),
+                                 VAR0 * np.ones(1))
+    np.random.seed(9)
+    seg = UnigramAcousticWordseg(
+        FBGMM, am_alpha=1.0, am_K=2, am_param_prior=prior,
+        embedding_mats=embedding_mats, vec_ids_dict=vec_ids_dict,
+        durations_dict=durations_dict, landmarks_dict=landmarks_dict,
+        p_boundary_init=0.5, beta_sent_boundary=-1, n_slices_max=2,
+        time_power_term=0.0, wip=0.0, batch_size=1, seed=9,
+    )
+    return seg, emb0
+
+
+_PATTERNS2LM = {  # boundary pair -> list of (start, end_excl) segments
+    (0, 1): [(0, 2)],
+    (1, 1): [(0, 1), (1, 2)],
+}
+
+
+def _exact_annealed_move_kernel(seg, emb0, temp):
+    """One gibbs_sample_i(0, anneal_temp=temp, anneal_gibbs_am=True) move
+    from first principles.  Reference semantics: the backward draw tempers
+    the per-step window distribution (unigram_acoustic_wordseg.py:733-741)
+    and anneal_gibbs_am tempers each assignment draw (fbgmm.py:436-455);
+    the forward filter itself is NOT annealed.  With one backward step the
+    pattern distribution is exactly softmax(pattern_logp / temp)."""
+    alpha, K = 1.0, 2
+    counts = np.asarray(seg.acoustic_model.stats.counts).astype(float)
+    sum_x = np.asarray(seg.acoustic_model.stats.sum_x)[:, 0].astype(float)
+    assignments = np.asarray(seg.acoustic_model.assignments)
+    old_embeds = [e for e in seg.utterances.get_segmented_embeds_i(0)
+                  if e != -1]
+    lo_counts, lo_sum_x = counts.copy(), sum_x.copy()
+    for e in old_embeds:
+        k = assignments[e]
+        lo_counts[k] -= 1
+        lo_sum_x[k] -= emb0[e, 0]
+
+    def cand_score(e):
+        x = emb0[e, 0]
+        terms = []
+        for k in range(K):
+            w = (np.log(alpha / K + lo_counts[k])
+                 - np.log(lo_counts.sum() + alpha))
+            pred = (_pred_logpdf(x, lo_counts[k], lo_sum_x[k])
+                    if lo_counts[k] > 0 else _prior_logpdf(x))
+            terms.append(w + pred)
+        return lse(terms)
+
+    def embeds_of(p):
+        return [_tri(e, s) for s, e in _PATTERNS2LM[p]]
+
+    seg_logp = {p: sum(cand_score(e) for e in embeds_of(p))
+                for p in _PATTERNS2LM}
+    za = lse([v / temp for v in seg_logp.values()])
+
+    probs = {}
+    for p in _PATTERNS2LM:
+        embeds = embeds_of(p)
+        lp_pattern = seg_logp[p] / temp - za
+        for ks in itertools.product(range(K), repeat=len(embeds)):
+            c, sx = lo_counts.copy(), lo_sum_x.copy()
+            lp_chain = 0.0
+            for e, k in zip(embeds, ks):
+                x = emb0[e, 0]
+                logits = []
+                for kk in range(K):
+                    w = np.log(alpha / K + c[kk])
+                    pred = (_pred_logpdf(x, c[kk], sx[kk]) if c[kk] > 0
+                            else _prior_logpdf(x))
+                    logits.append(w + pred)
+                logits = np.asarray(logits) / temp
+                lp_chain += logits[k] - lse(logits)
+                c[k] += 1
+                sx[k] += x
+            probs[(p, ks)] = np.exp(lp_pattern + lp_chain)
+    return probs
+
+
+def test_annealed_single_move_transition_kernel():
+    temp = 3.0
+    seg, emb0 = _build_two_landmark_segmenter()
+    am = seg.acoustic_model
+    exact = _exact_annealed_move_kernel(seg, emb0, temp)
+    assert abs(sum(exact.values()) - 1.0) < 1e-9
+    # The annealed kernel must differ measurably from the unannealed one,
+    # so this test cannot pass with temperature plumbing broken.
+    exact_t1 = _exact_annealed_move_kernel(seg, emb0, 1.0)
+    assert 0.5 * sum(abs(exact[k] - exact_t1[k]) for k in exact) > 0.05
+
+    stats0, assign0 = am.stats, am.assignments
+    bounds0 = seg._boundaries_dev
+
+    n_trials = 4000
+    freq = {key: 0 for key in exact}
+    for t in range(n_trials):
+        am.stats, am.assignments = stats0, assign0
+        seg._boundaries_dev = bounds0
+        am.key = jax.random.PRNGKey(70_000 + t)
+        seg.gibbs_sample_i(0, anneal_temp=temp, anneal_gibbs_am=True)
+        bounds = tuple(
+            np.asarray(seg._boundaries_dev)[0, :2].astype(int).tolist()
+        )
+        embeds = [_tri(e, s) for s, e in _PATTERNS2LM[bounds]]
+        ks = tuple(int(np.asarray(am.assignments)[e]) for e in embeds)
+        freq[(bounds, ks)] += 1
+
+    emp = {key: v / n_trials for key, v in freq.items()}
+    tv = 0.5 * sum(abs(emp[key] - exact[key]) for key in exact)
+    assert tv < 0.04, (
+        tv,
+        sorted(((key, round(exact[key], 4), round(emp[key], 4))
+                for key in exact), key=lambda r: -r[1])[:8],
+    )
+    for key, p in exact.items():
+        if p > 0.005:
+            sigma = np.sqrt(p * (1 - p) / n_trials)
+            assert abs(emp[key] - p) < 5 * sigma + 1e-9, (key, p, emp[key])
