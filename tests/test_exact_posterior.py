@@ -415,3 +415,69 @@ def test_annealed_single_move_transition_kernel():
         if p > 0.005:
             sigma = np.sqrt(p * (1 - p) / n_trials)
             assert abs(emp[key] - p) < 5 * sigma + 1e-9, (key, p, emp[key])
+
+
+def test_viterbi_move_matches_argmax_oracle():
+    """fb_type="viterbi" is fully deterministic: the move must pick the
+    argmax-score segmentation (max-product DP over the enumerated patterns)
+    and then MAP assignments with chained statistics (reference
+    forward_backward_viterbi, unigram_acoustic_wordseg.py:759-864, and
+    map_assign_i, fbgmm.py:465-494, which omits the lms scaling)."""
+    alpha, K = 1.0, 2
+    seg, emb0 = _build_two_utterance_segmenter()
+    seg.set_fb_type("viterbi")
+    am = seg.acoustic_model
+
+    counts = np.asarray(am.stats.counts).astype(float)
+    sum_x = np.asarray(am.stats.sum_x)[:, 0].astype(float)
+    assignments = np.asarray(am.assignments)
+    old_embeds = [e for e in seg.utterances.get_segmented_embeds_i(0)
+                  if e != -1]
+    lo_counts, lo_sum_x = counts.copy(), sum_x.copy()
+    for e in old_embeds:
+        k = assignments[e]
+        lo_counts[k] -= 1
+        lo_sum_x[k] -= emb0[e, 0]
+
+    def cand_score(e):
+        x = emb0[e, 0]
+        terms = []
+        for k in range(K):
+            w = (np.log(alpha / K + lo_counts[k])
+                 - np.log(lo_counts.sum() + alpha))
+            pred = (_pred_logpdf(x, lo_counts[k], lo_sum_x[k])
+                    if lo_counts[k] > 0 else _prior_logpdf(x))
+            terms.append(w + pred)
+        return lse(terms)
+
+    best_p = max(_PATTERNS, key=lambda p: sum(cand_score(e)
+                                              for e in _pattern_embeds(p)))
+    c, sx = lo_counts.copy(), lo_sum_x.copy()
+    best_ks = []
+    for e in _pattern_embeds(best_p):
+        x = emb0[e, 0]
+        logits = []
+        for kk in range(K):
+            w = np.log(alpha / K + c[kk])
+            pred = (_pred_logpdf(x, c[kk], sx[kk]) if c[kk] > 0
+                    else _prior_logpdf(x))
+            logits.append(w + pred)
+        k = int(np.argmax(logits))
+        best_ks.append(k)
+        c[k] += 1
+        sx[k] += x
+
+    stats0, assign0 = am.stats, am.assignments
+    bounds0 = seg._boundaries_dev
+    for t in range(4):  # deterministic under any PRNG key
+        am.stats, am.assignments = stats0, assign0
+        seg._boundaries_dev = bounds0
+        am.key = jax.random.PRNGKey(90_000 + t)
+        seg.gibbs_sample_i(0)
+        bounds = tuple(
+            np.asarray(seg._boundaries_dev)[0, :3].astype(int).tolist()
+        )
+        assert bounds == best_p, (bounds, best_p)
+        ks = [int(np.asarray(am.assignments)[e])
+              for e in _pattern_embeds(bounds)]
+        assert ks == best_ks, (ks, best_ks)
