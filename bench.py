@@ -327,11 +327,12 @@ def ref_2d_fbgmm_sweep_seconds(N=100, K=4, D=2):
     counts = np.full(K, N // K, dtype=float)
     mu_N = rng.randn(K, D)
     prec_N = np.abs(rng.randn(K, D)) + 1.0
+    assign = np.arange(N) % K  # track real assignments so counts stay >= 0
 
     def sweep():
         for i in range(N):
             x = X[i]
-            k_old = i % K
+            k_old = assign[i]
             counts[k_old] -= 1  # del_item
             mu_N[k_old] -= x / 10.0
             log_prob_z = np.log(1.0 / K + counts)
@@ -346,6 +347,7 @@ def ref_2d_fbgmm_sweep_seconds(N=100, K=4, D=2):
             k = int(np.searchsorted(c, rng.rand()))  # utils.py draw
             counts[k] += 1  # add_item
             mu_N[k] += x / 10.0
+            assign[i] = k
 
     return best_of(sweep, 1, reps=5)
 
