@@ -488,35 +488,57 @@ def main():
     add("unigram_fixed", dt_fixed, ref_fixed, f1_fixed)
     n_tokens = int(rec["n_tokens"][-1])
 
+    # Non-flagship configs are isolated: a mid-run device failure in one
+    # still leaves a JSON record with every config that did complete.
+    def guarded(name, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 - record and continue
+            import traceback
+
+            log("  %s FAILED: %s" % (name, e))
+            traceback.print_exc(file=sys.stderr)
+            configs[name] = {"error": "%s: %s" % (type(e).__name__, e)}
+
     # ---- 4. unigram full NIW ------------------------------------------- #
+    def _run_full():
+        seg_f, dt_full, rec_f = run_unigram_full(em, vi, du, lm, truth)
+        per_cand_full = ref_full_candidate_seconds()
+        per_update_full = ref_full_update_seconds()
+        n_tokens_full = int(rec_f["n_tokens"][-1])
+        # Per sweep the reference deletes and re-adds every token's
+        # embedding, each triggering the O(D^3) cache update
+        # (gaussian_components:319-331).
+        ref_full = (per_cand_full * n_cand + dp_lm * n_landmarks
+                    + per_update_full * 2 * n_tokens_full)
+        add("unigram_full", dt_full, ref_full, f1_of(seg_f, truth))
+
     log("[unigram_full]")
-    seg_f, dt_full, rec_f = run_unigram_full(em, vi, du, lm, truth)
-    per_cand_full = ref_full_candidate_seconds()
-    per_update_full = ref_full_update_seconds()
-    n_tokens_full = int(rec_f["n_tokens"][-1])
-    # Per sweep the reference deletes and re-adds every token's embedding,
-    # each triggering the O(D^3) cache update (gaussian_components:319-331).
-    ref_full = (per_cand_full * n_cand + dp_lm * n_landmarks
-                + per_update_full * 2 * n_tokens_full)
-    add("unigram_full", dt_full, ref_full, f1_of(seg_f, truth))
+    guarded("unigram_full", _run_full)
 
     # ---- 5. bigram ------------------------------------------------------ #
+    def _run_bigram():
+        seg_b, dt_big, rec_b = run_bigram(em, vi, du, lm, truth)
+        per_cand_big = ref_fixedvar_candidate_seconds(lm_weights=True)
+        per_tok_big = ref_bigram_token_seconds()
+        n_tokens_big = int(rec_b["n_tokens"][-1])
+        replay = ref_bigram_replay_seconds(n_tokens_big)
+        ref_big = (per_cand_big * n_cand + dp_lm * n_landmarks
+                   + per_tok_big * n_tokens_big + replay)
+        add("bigram", dt_big, ref_big, f1_of(seg_b, truth))
+
     log("[bigram]")
-    seg_b, dt_big, rec_b = run_bigram(em, vi, du, lm, truth)
-    per_cand_big = ref_fixedvar_candidate_seconds(lm_weights=True)
-    per_tok_big = ref_bigram_token_seconds()
-    n_tokens_big = int(rec_b["n_tokens"][-1])
-    replay = ref_bigram_replay_seconds(n_tokens_big)
-    ref_big = (per_cand_big * n_cand + dp_lm * n_landmarks
-               + per_tok_big * n_tokens_big + replay)
-    add("bigram", dt_big, ref_big, f1_of(seg_b, truth))
+    guarded("bigram", _run_bigram)
 
     # ---- 2. segmental k-means ------------------------------------------ #
+    def _run_kmeans():
+        seg_k, dt_km, _ = run_kmeans(em, vi, du, lm, truth)
+        per_cand_km = ref_kmeans_candidate_seconds()
+        ref_km = per_cand_km * n_cand + dp_lm * n_landmarks
+        add("kmeans_wordseg", dt_km, ref_km, f1_of(seg_k, truth))
+
     log("[kmeans_wordseg]")
-    seg_k, dt_km, _ = run_kmeans(em, vi, du, lm, truth)
-    per_cand_km = ref_kmeans_candidate_seconds()
-    ref_km = per_cand_km * n_cand + dp_lm * n_landmarks
-    add("kmeans_wordseg", dt_km, ref_km, f1_of(seg_k, truth))
+    guarded("kmeans_wordseg", _run_kmeans)
 
     # ---- 1. 2-D toy clustering ----------------------------------------- #
     # The ONLY config with an in-repo measured reference number: the
@@ -526,22 +548,27 @@ def main():
     # N=100 / K=4 has no parallelism for a TPU to exploit -- the per-sweep
     # cost is the dispatch/latency floor -- so unlike the Buckeye-scale
     # configs this one is reported for completeness, not speedup.
+    def _run_toy():
+        dt_2d = run_2d_fbgmm()
+        ref_2d_notebook = 0.013
+        ref_2d_emul = ref_2d_fbgmm_sweep_seconds()
+        log("  host emulation of the reference toy sweep: %.4f s/sweep "
+            "(notebook measurement: %.3f)" % (ref_2d_emul, ref_2d_notebook))
+        add("clustering_2d", dt_2d, ref_2d_notebook)
+        configs["clustering_2d"][
+            "ref_emulation_this_host_sweeps_per_sec"] = (
+            round(1.0 / ref_2d_emul, 2))
+        configs["clustering_2d"]["note"] = (
+            "vs the reference's own in-repo measured 13 ms/sweep "
+            "(clustering_examples.ipynb); N=100, K=4 leaves the TPU nothing "
+            "to parallelise, so the per-sweep cost is per-sweep kernel "
+            "overhead inside the fused 16-sweep chunks -- measured "
+            "breakdown: 2 us loop floor + ~73 us sweep kernels "
+            "(benchmarks/toy_breakdown.py)"
+        )
+
     log("[clustering_2d]")
-    dt_2d = run_2d_fbgmm()
-    ref_2d_notebook = 0.013
-    ref_2d_emul = ref_2d_fbgmm_sweep_seconds()
-    log("  host emulation of the reference toy sweep: %.4f s/sweep "
-        "(notebook measurement: %.3f)" % (ref_2d_emul, ref_2d_notebook))
-    add("clustering_2d", dt_2d, ref_2d_notebook)
-    configs["clustering_2d"]["ref_emulation_this_host_sweeps_per_sec"] = (
-        round(1.0 / ref_2d_emul, 2))
-    configs["clustering_2d"]["note"] = (
-        "vs the reference's own in-repo measured 13 ms/sweep "
-        "(clustering_examples.ipynb); N=100, K=4 leaves the TPU nothing to "
-        "parallelise, so the per-sweep cost is per-sweep kernel overhead "
-        "inside the fused 16-sweep chunks -- measured breakdown: 2 us loop "
-        "floor + ~73 us sweep kernels (benchmarks/toy_breakdown.py)"
-    )
+    guarded("clustering_2d", _run_toy)
 
     evals_per_sec = n_cand * K_COMPONENTS / dt_fixed
     log("flagship: %.2f sweeps/s, %.3g logprob evals/s, F1=%.3f, "
