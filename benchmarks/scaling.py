@@ -33,7 +33,9 @@ import numpy as np
 D = 13
 K = 1000
 W = 6
-SWEEPS = 20
+# 64 sweeps x best-of-2 amortise the end-of-call fetch RPC (30-150 ms)
+# below the noise floor at the fast configs' ~7-11 ms/sweep.
+SWEEPS = 64
 
 
 def run(n_utt, n_lm, batch):
@@ -58,12 +60,17 @@ def run(n_utt, n_lm, batch):
         landmarks_dict=lm, p_boundary_init=0.5, beta_sent_boundary=-1,
         n_slices_max=W, batch_size=batch, seed=0,
     )
+    from segmentalist_tpu.segmenters.unigram import _WORDSEG_CHUNK
+
     t0 = time.time()
     seg.gibbs_sample(1)
+    seg.gibbs_sample(_WORDSEG_CHUNK)  # warm the fused chunk program too
     warm = time.time() - t0
-    t0 = time.time()
-    seg.gibbs_sample(SWEEPS)
-    dt = (time.time() - t0) / SWEEPS
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        seg.gibbs_sample(SWEEPS)
+        dt = min(dt, (time.time() - t0) / SWEEPS)
     seg._sync_boundaries_to_host()
     pred = {u: seg.utterances.boundaries[i]
             for i, u in enumerate(seg.ids_to_utterance_labels)}
