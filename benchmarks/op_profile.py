@@ -94,15 +94,26 @@ def parse_xspace(logdir):
             if not ("TPU" in plane.name or "/device:" in plane.name):
                 continue
             meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
-            for line in plane.lines:
-                if line.name not in ("XLA Ops", "TensorFlow Ops", "Ops"):
-                    # TPU device planes name the op line "XLA Ops"; fall
-                    # back to any line whose events reference op metadata.
-                    if "op" not in line.name.lower():
-                        continue
-                for ev in line.events:
-                    name = meta.get(ev.metadata_id, "?")
-                    totals[name] += ev.duration_ps / 1e12
+            # A device plane may carry several op-view lines ("XLA Ops",
+            # "TensorFlow Ops", name-scope views, ...) describing the SAME
+            # device time ranges — summing more than one double-counts every
+            # kernel.  Pick exactly one line per plane, best view first.
+            def line_rank(ln):
+                prio = {"XLA Ops": 0, "TensorFlow Ops": 1, "Ops": 2}
+                if ln.name in prio:
+                    return prio[ln.name]
+                low = ln.name.lower()
+                if "ops" in low and "scope" not in low:
+                    return 3
+                return None
+            ranked = [(r, ln) for ln in plane.lines
+                      if (r := line_rank(ln)) is not None and ln.events]
+            if not ranked:
+                continue
+            best = min(ranked, key=lambda p: p[0])[1]
+            for ev in best.events:
+                name = meta.get(ev.metadata_id, "?")
+                totals[name] += ev.duration_ps / 1e12
     return totals, plane_names
 
 

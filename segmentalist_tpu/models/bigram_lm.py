@@ -31,6 +31,12 @@ class BigramLMState(NamedTuple):
 
 
 def empty_lm_state(K: int) -> BigramLMState:
+    # Component ids must fit the key field of transcript_pairs_batch's
+    # (position << 20) | id packing, or ids bleed into the position bits and
+    # cummax silently recovers garbage previous-components.  K is static, so
+    # guard once here — every transcript id is < K.
+    assert K <= (1 << _PAIR_KEY_BITS), (
+        "bigram LM supports K <= 2^%d (got %d)" % (_PAIR_KEY_BITS, K))
     return BigramLMState(
         unigram_counts=jnp.zeros((K,), jnp.int32),
         bigram_counts=jnp.zeros((K, K), jnp.int32),
@@ -79,13 +85,17 @@ def transcript_pairs(transcript: jnp.ndarray):
 _PAIR_KEY_BITS = 20  # component ids < 2^20; positions < 2^11 (int32 safe)
 
 
-def transcript_pairs_batch(transcripts: jnp.ndarray):
+def transcript_pairs_batch(transcripts: jnp.ndarray,
+                           return_prev_pos: bool = False):
     """Batched, fully parallel ``transcript_pairs``: forward-fill the last
     valid component via ONE cumulative max over ``(position << 20) | key``
     encodings (monotone in position, so the max is the latest valid key; no
     gather needed to recover it).
 
-    transcripts [B, S] int32 (-1 pads) -> (pj, pi) each [B, S].
+    transcripts [B, S] int32 (-1 pads) -> (pj, pi) each [B, S]; with
+    ``return_prev_pos`` also the previous valid POSITION per slot ([B, S],
+    -1 where none), decoded from the same encoding — callers that need it
+    (the LM-replay metric) must not re-derive it with a second cummax.
     """
     B, S = transcripts.shape
     assert S < (1 << (31 - _PAIR_KEY_BITS))
@@ -102,6 +112,9 @@ def transcript_pairs_batch(transcripts: jnp.ndarray):
         (prev >= 0) & valid, prev & ((1 << _PAIR_KEY_BITS) - 1), -1
     )
     pi = jnp.where(valid, transcripts, -1)
+    if return_prev_pos:
+        prev_pos = jnp.where(prev >= 0, prev >> _PAIR_KEY_BITS, -1)
+        return pj, pi, prev_pos
     return pj, pi
 
 

@@ -51,39 +51,64 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_b_tile(per_utt_bytes: float, cap: int, B: int,
                  shared_bytes: float = 0.0,
-                 budget: float = 12 * 2 ** 20) -> int:
+                 budget: float = 12 * 2 ** 20,
+                 strict_above: int = 16) -> int:
     """Largest utterances-per-program tile whose VMEM footprint (inputs +
     carries + temps, estimated per utterance) fits the scoped-VMEM budget.
 
     The chain kernels' static tile sizes OOM'ed scoped VMEM once utterances
     got long (S = 120 landmarks -> [B_tile, S, K_pad] blocks of ~8 MB each);
     the budget leaves headroom below the 16 MB limit for Mosaic's
-    double-buffering of streamed inputs."""
-    bt = min(cap, _round_up(B, 8))
-    while bt > 1 and shared_bytes + per_utt_bytes * bt > budget:
-        bt //= 2
-    return max(bt, 1)
+    double-buffering of streamed inputs.
+
+    Mosaic's scoped-VMEM footprint also grows with the GRID size (input
+    prefetch buffering): the fixedvar kernel's 32-utterance tiles compiled
+    at <= 8 programs but blew the 16 MB limit by ~2 MB at 16 programs
+    (B=512, measured round 3).  All five chain kernels share the failure
+    mode, so when the grid exceeds ``strict_above`` programs the tile is
+    re-picked with a 2.5 MB stricter budget.  ``strict_above`` defaults to
+    16 — the largest grid the non-fixedvar kernels have been hardware-
+    validated at (benchmark scale, B=125/cap=8) — so validated tile
+    choices are unchanged; fixedvar passes its measured threshold of 8."""
+
+    def pick(bud: float) -> int:
+        bt = min(cap, _round_up(B, 8))
+        while bt > 1 and shared_bytes + per_utt_bytes * bt > bud:
+            bt //= 2
+        return max(bt, 1)
+
+    bt = pick(budget)
+    if _round_up(B, bt) // bt > strict_above:
+        bt = pick(budget - 2.5 * 2 ** 20)
+    return bt
 
 
-def _tile_step_bounds(embeds, S: int, B: int, B_pad: int, B_tile: int):
-    """[n_tiles, 1] per-tile max valid-segment count.  Segments are packed
-    from slot 0 (``segmenters.common.segments_from_boundaries``), so the
-    sequential chain loop only needs the tile's actual max step count --
-    utterances average far fewer segments than the static S bound, and the
-    kernels' cost is dominated by sequential step latency."""
-    n_valid = jnp.max(
+def _segment_counts(embeds):
+    """[B] valid-segment count per utterance (segments are packed from
+    slot 0 by ``segmenters.common.segments_from_boundaries``)."""
+    S = embeds.shape[1]
+    return jnp.max(
         jnp.where(embeds >= 0,
                   jnp.arange(S, dtype=jnp.int32)[None, :] + 1, 0),
         axis=1,
     )
+
+
+def _tile_step_bounds(embeds, S: int, B: int, B_pad: int, B_tile: int):
+    """[n_tiles, 1] per-tile max valid-segment count: the sequential chain
+    loop only needs the tile's actual max step count -- utterances average
+    far fewer segments than the static S bound, and the kernels' cost is
+    dominated by sequential step latency."""
+    n_valid = _segment_counts(embeds)
     return jnp.max(
         jnp.pad(n_valid, (0, B_pad - B)).reshape(B_pad // B_tile, B_tile),
         axis=1,
     )[:, None]
 
 
-def _length_sort(embeds):
-    """Ascending-by-segment-count utterance permutation (and its inverse).
+def _length_sort(embeds, *arrays):
+    """Sort utterances ascending by segment count; return the inverse
+    permutation and every input array sorted along axis 0.
 
     The chain kernels run one sequential program per ``B_tile`` utterances,
     bounded by the tile's max segment count (``_tile_step_bounds``).  With
@@ -91,15 +116,14 @@ def _length_sort(embeds):
     sorted tiles are length-homogeneous, so the summed sequential step
     count approaches the corpus MEAN segment count instead of
     ``n_tiles x max``.  Chains are per-utterance independent, so sorting
-    the inputs and unsorting the sampled assignments is exact (same noise
-    row stays with the same utterance)."""
-    S = embeds.shape[1]
-    n_valid = jnp.max(
-        jnp.where(embeds >= 0,
-                  jnp.arange(S, dtype=jnp.int32)[None, :] + 1, 0),
-        axis=1)
-    perm = jnp.argsort(n_valid)
-    return perm, jnp.argsort(perm)
+    the inputs and unsorting the sampled assignments (``ks[inv]``) is
+    exact.  EVERY per-utterance input (incl. the pre-drawn Gumbel noise)
+    must ride through this call so its rows keep travelling with their
+    utterances — permuting arrays at a call site by hand is the bug this
+    helper exists to prevent."""
+    perm = jnp.argsort(_segment_counts(embeds))
+    inv = jnp.argsort(perm)
+    return inv, tuple(a[perm] for a in (embeds,) + arrays)
 
 
 @functools.partial(
@@ -135,21 +159,13 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     # ms/sweep, round 3); long utterances fall back to smaller tiles.
     per_utt = 4.0 * (S * K_pad + 3 * D_pad * K_pad + 2 * D_pad * S
                      + 2 * K_pad) * 1.3
-    B_tile = _pick_b_tile(per_utt, 32, B, budget=13.5 * 2 ** 20)
-    if _round_up(B, B_tile) // B_tile > 8:
-        # Mosaic's scoped-VMEM footprint grows with the grid size (input
-        # prefetch buffering): 32-utterance tiles compile at <= 8 programs
-        # (benchmark scale, B=125/250) but blew the 16 MB limit by 2 MB at
-        # 16 programs (B=512, measured round 3).  Larger batches re-pick
-        # with a stricter budget.
-        B_tile = _pick_b_tile(per_utt, 32, B, budget=11 * 2 ** 20)
+    B_tile = _pick_b_tile(per_utt, 32, B, budget=13.5 * 2 ** 20,
+                          strict_above=8)
     B_pad = _round_up(B, B_tile)
     inv = None
     if B_pad // B_tile > 1:
-        perm, inv = _length_sort(embeds)
-        embeds, Xe, log_prior_e, gumbel, counts, sum_x = (
-            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, counts,
-                              sum_x))
+        inv, (embeds, Xe, log_prior_e, gumbel, counts, sum_x) = (
+            _length_sort(embeds, Xe, log_prior_e, gumbel, counts, sum_x))
     dtype = Xe.dtype
     Kf = float(K)
 
@@ -345,10 +361,10 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     B_pad = _round_up(B, B_tile)
     inv = None
     if B_pad // B_tile > 1:
-        perm, inv = _length_sort(embeds)
-        (embeds, Xe, log_prior_e, gumbel, counts, sum_x, uni_lo, corr_j,
-         corr_i) = (a[perm] for a in (embeds, Xe, log_prior_e, gumbel,
-                                      counts, sum_x, uni_lo, corr_j, corr_i))
+        inv, (embeds, Xe, log_prior_e, gumbel, counts, sum_x, uni_lo,
+              corr_j, corr_i) = _length_sort(
+                  embeds, Xe, log_prior_e, gumbel, counts, sum_x, uni_lo,
+                  corr_j, corr_i)
     dtype = Xe.dtype
     Kf = float(K)
 
@@ -602,10 +618,9 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     B_pad = _round_up(B, B_tile)
     inv = None
     if B_pad // B_tile > 1:
-        perm, inv = _length_sort(embeds)
-        embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq = (
-            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, counts,
-                              sum_x, sum_sq))
+        inv, (embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq) = (
+            _length_sort(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
+                         sum_sq))
     dtype = Xe.dtype
     Kf = float(K)
     k0 = float(k_0)
@@ -1004,11 +1019,10 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     B_pad = _round_up(B, B_tile)
     inv = None
     if B_pad // B_tile > 1:
-        perm, inv = _length_sort(embeds)
-        (embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq, uni_lo,
-         corr_j, corr_i) = (
-            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, counts,
-                              sum_x, sum_sq, uni_lo, corr_j, corr_i))
+        inv, (embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
+              uni_lo, corr_j, corr_i) = _length_sort(
+                  embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
+                  uni_lo, corr_j, corr_i)
     dtype = Xe.dtype
     Kf = float(K)
     k0 = float(k_0)
@@ -1328,15 +1342,15 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
     B_pad = _round_up(B, B_tile)
     inv = None
     if B_pad // B_tile > 1:
-        perm, inv = _length_sort(embeds)
-        (embeds, Xe, log_prior_e, gumbel, base_scores, lo_counts,
-         slot_cnt0, t_m0, t_invP0, t_ldP0, tk0) = (
-            a[perm] for a in (embeds, Xe, log_prior_e, gumbel, base_scores,
-                              lo_counts, slot_cnt0, t_m0, t_invP0, t_ldP0,
-                              tk0))
+        per_utt = (embeds, Xe, log_prior_e, gumbel, base_scores, lo_counts,
+                   slot_cnt0, t_m0, t_invP0, t_ldP0, tk0)
         if bigram:
-            uni_lo, corr_j, corr_i = (
-                a[perm] for a in (uni_lo, corr_j, corr_i))
+            per_utt += (uni_lo, corr_j, corr_i)
+        inv, per_utt = _length_sort(*per_utt)
+        (embeds, Xe, log_prior_e, gumbel, base_scores, lo_counts,
+         slot_cnt0, t_m0, t_invP0, t_ldP0, tk0) = per_utt[:11]
+        if bigram:
+            uni_lo, corr_j, corr_i = per_utt[11:]
     dtype = Xe.dtype
     Kf = float(K)
     k0 = float(k_0)

@@ -30,9 +30,10 @@ NEG_INF = -jnp.inf
 
 _LANES = 128
 
-# Static-unroll bound for the forward recursion (steps, = N - 1).  Long
-# utterances (scaling benchmarks run N up to 120) fall back to the dynamic
-# fori_loop form to bound Mosaic compile time.
+# Static-unroll bound for the forward recursion (steps, = N - 1).  This
+# covers every current workload incl. the N=120 scaling benchmark; only
+# longer utterances fall back to the dynamic fori_loop form, which bounds
+# Mosaic compile time.
 _UNROLL_MAX_STEPS = 127
 
 

@@ -721,7 +721,8 @@ class BigramAcousticWordseg:
         @jax.jit
         def log_prob_z(transcripts):
             U, S = transcripts.shape
-            pj, pi = transcript_pairs_batch(transcripts)
+            pj, pi, prev_pos = transcript_pairs_batch(
+                transcripts, return_prev_pos=True)
             flat_j = pj.reshape(-1)
             flat_i = pi.reshape(-1)
             valid = flat_i >= 0
@@ -741,17 +742,11 @@ class BigramAcousticWordseg:
             ranks = self_ranks(jnp.stack([tok_key, pair_key]))
             rank_uni, rank_big = ranks[0], ranks[1]
             # rank_uni at each token's previous valid position (+1 for the
-            # prev token itself), recovered with the same encoded cummax as
-            # transcript_pairs_batch.
-            pos2 = jnp.arange(S, dtype=jnp.int32)[None, :]
-            validm = valid.reshape(U, S)
-            idx = jnp.where(validm, pos2, -1)
-            inc = jax.lax.cummax(idx, axis=1)
-            prev = jnp.concatenate(
-                [jnp.full((U, 1), -1, inc.dtype), inc[:, :-1]], axis=1
-            )
+            # prev token itself); the position comes straight from
+            # transcript_pairs_batch's encoded cummax, so the pairing
+            # convention lives in exactly one place.
             r_u_prev = jnp.take_along_axis(
-                rank_uni.reshape(U, S), jnp.maximum(prev, 0), axis=1
+                rank_uni.reshape(U, S), jnp.maximum(prev_pos, 0), axis=1
             ).reshape(-1)
             uni_j_before = r_u_prev + 1
             p_uni = (rank_uni.astype(dtype) + a / K) / (

@@ -332,3 +332,36 @@ def test_bigram_full_covariance_smoke():
     np.testing.assert_array_equal(
         np.asarray(seg.lm.state.unigram_counts),
         np.asarray(fresh.unigram_counts))
+
+
+def test_transcript_pairs_batch_prev_pos():
+    """return_prev_pos exposes the previous valid POSITION per slot, decoded
+    from the same encoded cummax that defines the (prev, cur) pairs — the
+    LM-replay metric consumes it instead of re-deriving its own forward
+    fill."""
+    import jax.numpy as jnp
+    from segmentalist_tpu.models.bigram_lm import transcript_pairs_batch
+
+    tr = jnp.asarray([[3, -1, 5, 5, -1, -1, 2],
+                      [-1, -1, -1, -1, -1, -1, -1],
+                      [7, 0, -1, 0, 1, -1, -1]], dtype=jnp.int32)
+    pj, pi, prev_pos = transcript_pairs_batch(tr, return_prev_pos=True)
+    pj2, pi2 = transcript_pairs_batch(tr)
+    npt.assert_array_equal(np.asarray(pj), np.asarray(pj2))
+    npt.assert_array_equal(np.asarray(pi), np.asarray(pi2))
+    # brute-force oracle
+    tr_np = np.asarray(tr)
+    want = np.full(tr_np.shape, -1, np.int64)
+    for u in range(tr_np.shape[0]):
+        last = -1
+        for s in range(tr_np.shape[1]):
+            want[u, s] = last
+            if tr_np[u, s] >= 0:
+                last = s
+    npt.assert_array_equal(np.asarray(prev_pos), want)
+    # consistency: where a pair exists, prev_pos addresses its prev token
+    pj_np, prev_np = np.asarray(pj), np.asarray(prev_pos)
+    has = pj_np >= 0
+    npt.assert_array_equal(
+        pj_np[has],
+        tr_np[np.nonzero(has)[0], prev_np[has]])

@@ -683,3 +683,46 @@ def test_length_sorted_tiling_matches_per_utterance_calls():
             jnp.asarray(sum_x[b:b + 1]), jnp.asarray(sum_sq[b:b + 1]),
             **dargs))
         npt.assert_array_equal(batched[b], single[0], err_msg=f"utt {b}")
+
+
+def test_pick_b_tile_grid_aware_budget():
+    """Above ``strict_above`` grid programs the tile picker re-picks with a
+    2.5 MB stricter budget (Mosaic's prefetch buffering grows the scoped-
+    VMEM footprint with the grid size; measured on hardware for fixedvar at
+    B=512, PERFORMANCE.md round-3 item on VMEM blow-ups)."""
+    from segmentalist_tpu.ops.pallas_chain import _pick_b_tile
+
+    mb = 2 ** 20
+    # Fits 32/tile at 13.5 MB but not at 11 MB: small grids keep 32.
+    per_utt = 0.4 * mb
+    assert _pick_b_tile(per_utt, 32, 64, budget=13.5 * mb,
+                        strict_above=8) == 32
+    # 512 utterances -> 16 programs > 8: stricter budget halves the tile.
+    assert _pick_b_tile(per_utt, 32, 512, budget=13.5 * mb,
+                        strict_above=8) == 16
+    # Non-fixedvar default threshold (16) leaves benchmark-scale grids
+    # (B=125, cap 8 -> 16 programs) at their hardware-validated tiles.
+    assert _pick_b_tile(0.9 * mb, 8, 125, shared_bytes=4.0 * mb) == 8
+
+
+def test_length_sort_pairs_rows_with_utterances():
+    """_length_sort permutes every passed array with the same utterance
+    permutation and returns the inverse that restores original order."""
+    from segmentalist_tpu.ops.pallas_chain import _length_sort
+
+    rng = np.random.default_rng(0)
+    B, S = 9, 6
+    embeds = np.full((B, S), -1, np.int32)
+    for b in range(B):
+        n = rng.integers(0, S + 1)
+        embeds[b, :n] = rng.integers(0, 100, n)
+    other = rng.normal(size=(B, S, 3)).astype(np.float32)
+    inv, (se, so) = _length_sort(jnp.asarray(embeds), jnp.asarray(other))
+    se, so, inv = np.asarray(se), np.asarray(so), np.asarray(inv)
+    counts = (se >= 0).sum(1)
+    assert (np.diff(counts) >= 0).all()  # ascending by segment count
+    npt.assert_array_equal(se[inv], embeds)  # inverse restores order
+    # rows travel together: each sorted row pair matches an original pair
+    for b in range(B):
+        src = np.flatnonzero((embeds == se[b]).all(1))
+        assert any((other[s] == so[b]).all() for s in src)
