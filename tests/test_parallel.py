@@ -130,11 +130,20 @@ def _build_family(family, n_utterances=16, batch_size=8, seed=0):
             beta_sent_boundary=2.0, n_slices_max=3, batch_size=batch_size,
             seed=seed,
         )
-    if family == "bigram":
-        prior = FixedVarPrior.create(0.05 * np.ones(D), np.zeros(D),
-                                     np.ones(D))
+    if family.startswith("bigram"):
+        cov = {"bigram": "fixed", "bigram_diag": "diag",
+               "bigram_full": "full"}[family]
+        if cov == "fixed":
+            prior = FixedVarPrior.create(0.05 * np.ones(D), np.zeros(D),
+                                         np.ones(D))
+        elif cov == "diag":
+            # diag backend is normal-inverse-chi-squared: S_0 is a [D] vector
+            prior = NIW.create(np.zeros(D), 1.0, D + 3, 0.5 * np.ones(D))
+        else:
+            prior = NIW.create(np.zeros(D), 1.0, D + 3,
+                               0.5 * np.eye(D) + 0.05 * np.ones((D, D)))
         return BigramAcousticWordseg(
-            am_K=8, am_param_prior=prior,
+            am_K=8, am_param_prior=prior, covariance_type=cov,
             lm_params={"type": "smooth", "intrp_lambda": 0.1, "a": 1.0,
                        "b": 1.0},
             embedding_mats=mats, vec_ids_dict=vec_ids, durations_dict=durs,
@@ -152,10 +161,13 @@ def _build_family(family, n_utterances=16, batch_size=8, seed=0):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-@pytest.mark.parametrize("family", ["unigram_full", "bigram", "kmeans"])
+@pytest.mark.parametrize(
+    "family",
+    ["unigram_full", "bigram", "bigram_diag", "bigram_full", "kmeans"])
 def test_shard_map_sweep_all_families(family):
-    """Explicit-collective sweep for every driver family: the psum'ed state
-    stays globally consistent with a from-scratch rebuild."""
+    """Explicit-collective sweep for every driver family and every bigram
+    covariance backend: the psum'ed state stays globally consistent with a
+    from-scratch rebuild."""
     from segmentalist_tpu.parallel.shard_sweep import use_shard_map_sweep
 
     mesh = make_mesh(8)
@@ -197,7 +209,7 @@ def test_shard_map_sweep_all_families(family):
         np.asarray(am.stats.sum_x), np.asarray(rebuilt.sum_x),
         rtol=1e-5, atol=1e-6,
     )
-    if family == "bigram":
+    if family.startswith("bigram"):
         # LM count tables match a from-scratch recount of the transcripts.
         fresh = seg._all_transcript_counts()
         np.testing.assert_array_equal(
