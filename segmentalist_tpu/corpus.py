@@ -76,6 +76,15 @@ class Utterances:
         self.vec_ids = -1 * np.ones((self.D, T), dtype=np.int64)
         for i_vec_id, vec_id in enumerate(vec_ids):
             self.vec_ids[i_vec_id, : len(vec_id)] = vec_id
+        # The sweeps pull integer embedding ids with one-hot f32 MXU
+        # contractions (segmenters/common.py::_gather2), exact only below
+        # 2^24 (f32 mantissa).  Enforce the bound where the ids are first
+        # known instead of silently corrupting them at extreme corpus scale.
+        if self.vec_ids.max(initial=-1) >= 2 ** 24:
+            raise ValueError(
+                "embedding row ids >= 2**24 are unsupported: the sweep's "
+                "one-hot f32 id pulls would quantize them (split the corpus)"
+            )
         self.durations = np.full((self.D, T), np.nan, dtype=np.float64)
         for i_dur, duration_vec in enumerate(durations):
             duration_vec = np.asarray(duration_vec, dtype=np.float64)

@@ -61,15 +61,27 @@ def _pick_b_tile(per_utt_bytes: float, cap: int, B: int,
     the budget leaves headroom below the 16 MB limit for Mosaic's
     double-buffering of streamed inputs.
 
-    Mosaic's scoped-VMEM footprint also grows with the GRID size (input
+    Mosaic's scoped-VMEM footprint also STEPS UP with the grid size (input
     prefetch buffering): the fixedvar kernel's 32-utterance tiles compiled
     at <= 8 programs but blew the 16 MB limit by ~2 MB at 16 programs
     (B=512, measured round 3).  All five chain kernels share the failure
     mode, so when the grid exceeds ``strict_above`` programs the tile is
-    re-picked with a 2.5 MB stricter budget.  ``strict_above`` defaults to
-    16 — the largest grid the non-fixedvar kernels have been hardware-
-    validated at (benchmark scale, B=125/cap=8) — so validated tile
-    choices are unchanged; fixedvar passes its measured threshold of 8."""
+    picked under a 2.5 MB stricter budget.  The step SATURATES rather than
+    growing with the grid: the flat reduction is hardware-validated out to
+    32 programs (fixedvar B=500 -> 16-utterance tiles, grid 32, round 3),
+    so the penalty is a constant, not per-doubling — a grid-proportional
+    model would collapse tiles to 1 at large B for no measured reason.
+    ``strict_above`` defaults to 16 — the largest grid the non-fixedvar
+    kernels have been hardware-validated at (benchmark scale, B=125/cap=8)
+    — so validated tile choices are unchanged; fixedvar passes its
+    measured threshold of 8.
+
+    Shrinking the tile under the stricter budget grows the grid, so the
+    pick iterates to a FIXED POINT: the returned tile satisfies the budget
+    implied by its own grid (with a flat penalty this converges in <= 2
+    steps — once strict, re-picking can only shrink the tile, which keeps
+    the grid above the threshold, so the budget assignment stays
+    consistent)."""
 
     def pick(bud: float) -> int:
         bt = min(cap, _round_up(B, 8))
@@ -77,10 +89,16 @@ def _pick_b_tile(per_utt_bytes: float, cap: int, B: int,
             bt //= 2
         return max(bt, 1)
 
+    def penalty(bt: int) -> float:
+        grid = _round_up(B, bt) // bt
+        return 2.5 * 2 ** 20 if grid > strict_above else 0.0
+
     bt = pick(budget)
-    if _round_up(B, bt) // bt > strict_above:
-        bt = pick(budget - 2.5 * 2 ** 20)
-    return bt
+    while True:
+        new = pick(budget - penalty(bt))
+        if new == bt:
+            return bt
+        bt = new
 
 
 def _segment_counts(embeds):

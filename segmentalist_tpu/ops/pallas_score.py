@@ -228,7 +228,12 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
             # stays in f32 range unless a single dim reaches ~1e9 (3e4
             # sigma); one transcendental per GROUP instead of per dim cuts
             # the kernel's dominant cost ~3x (log1p over [M, K] x D was
-            # ~1.6G evaluations per flagship-scale sweep).
+            # ~1.6G evaluations per flagship-scale sweep).  Hardware
+            # deviation vs the exact composition is ~3.3e-3 (Mosaic log
+            # error amplified by (v+1)/2 at large counts): fine for the
+            # logsumexp'ed sampled marginals, but deterministic-argmax
+            # consumers must not use this kernel -- the unigram driver
+            # gates it off in Viterbi mode.
             acc = jnp.zeros((M_tile, K_pad), dtype)
             for d0 in range(0, D, 4):
                 prod = jnp.ones((M_tile, K_pad), dtype)

@@ -50,6 +50,7 @@ def shard_segmenter(seg, mesh: Mesh, axis_name: str = "data"):
     if seg.batch_size % n != 0:
         seg.batch_size = int(np.ceil(seg.batch_size / n) * n)
     seg._sweep_fn = None  # rebuild: block size and/or pallas gating changed
+    seg._chunk_fn = None  # ditto: cached chunk closes over pre-mesh tensors
 
     shard_u = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())

@@ -37,6 +37,7 @@ from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, logsumexp
 from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
+    cand_tables,
     flat_contrib,
     gather_block_segments,
     leave_out_stats,
@@ -391,7 +392,8 @@ class BigramAcousticWordseg:
             and getattr(self, "_mesh", None) is None
             and not getattr(self, "_shard_map_mode", False)
         )
-        pending = []
+        pending = []  # (t_dispatched, n_sweeps, temps)
+        pending_dev = []  # aligned (log_prob, metrics) device values
         pending_monitor = []
         pending_validate = []
         start = time.time()
@@ -407,7 +409,8 @@ class BigramAcousticWordseg:
                  self.lm.state, am.key, lps, ms) = chunk(
                     am.stats, am.assignments, self._boundaries_dev,
                     self.lm.state, am.key, ts, ats)
-                pending.append((time.time(), _WORDSEG_CHUNK, ts, lps, ms))
+                pending.append((time.time(), _WORDSEG_CHUNK, ts))
+                pending_dev.append((lps, ms))
                 i_iter += _WORDSEG_CHUNK
                 continue
             temp = float(temps[i_iter])
@@ -416,8 +419,8 @@ class BigramAcousticWordseg:
             log_prob_dev = self._run_blocks_async(blocks, temp,
                                                   anneal_gibbs_am,
                                                   assignments_only)
-            pending.append((time.time(), 1, [temp], log_prob_dev,
-                            self.sweep_metrics_device()))
+            pending.append((time.time(), 1, [temp]))
+            pending_dev.append((log_prob_dev, self.sweep_metrics_device()))
             if monitor_i is not None:
                 pending_monitor.append(self._monitor_device(int(monitor_i)))
             if validate:
@@ -429,36 +432,22 @@ class BigramAcousticWordseg:
         if validate:
             dbg.check_validation(jax.device_get(pending_validate),
                                  dbg.BIGRAM_CHECKS)
-        fetched = jax.device_get([(lp, m) for _, _, _, lp, m in pending])
-        prev_t = start
-        i_iter = 0
-        for (t_disp, n, ts, _, _), (log_prob, m_fetched) in zip(
-            pending, fetched
-        ):
-            dt = (t_disp - prev_t) / n
-            prev_t = t_disp
-            for j in range(n):
-                lpz, lpx, k_act, n_tok = (
-                    jax.tree.map(lambda a: a[j], m_fetched)
-                    if n > 1 else m_fetched)
-                lp_j = log_prob[j] if n > 1 else log_prob
-                record["sample_time"].append(dt)
-                record["log_marg"].append(float(lpz) + float(lpx))
-                record["log_marg*length"].append(float(lp_j))
-                record["log_prob_z"].append(float(lpz))
-                record["log_prob_X_given_z"].append(float(lpx))
-                record["anneal_temp"].append(float(ts[j]))
-                record["components"].append(int(k_act))
-                record["n_tokens"].append(int(n_tok))
-                info = "iteration: " + str(i_iter)
-                for k in sorted(record):
-                    info += ", " + k + ": " + str(record[k][-1])
-                logger.info(info)
-                i_iter += 1
-        total = time.time() - start
-        if record["sample_time"]:
-            record["sample_time"][-1] += total - sum(record["sample_time"])
-        return record
+        fetched = jax.device_get(pending_dev)
+
+        def append_one(rec, ts, j, f):
+            log_prob, (lpz, lpx, k_act, n_tok) = f
+            rec["log_marg"].append(float(lpz) + float(lpx))
+            rec["log_marg*length"].append(float(log_prob))
+            rec["log_prob_z"].append(float(lpz))
+            rec["log_prob_X_given_z"].append(float(lpx))
+            rec["anneal_temp"].append(float(ts[j]))
+            rec["components"].append(int(k_act))
+            rec["n_tokens"].append(int(n_tok))
+
+        from .common import drain_pending_record
+
+        return drain_pending_record(record, pending, fetched, start,
+                                    append_one, logger)
 
     # ------------------------------------------------------------ internals
 
@@ -581,20 +570,10 @@ class BigramAcousticWordseg:
         return self._sweep_fn[assignments_only]
 
     def _cand_tables(self):
-        """See ``UnigramAcousticWordseg._cand_tables``."""
+        """Sweep-static candidate slabs (see ``common.cand_tables``)."""
         am = self.acoustic_model
-        utt = self.utterances
-        N_max, W_store = utt.N_max, utt.W
-        W_dp = (min(self.n_slices_max, N_max)
-                if self.n_slices_max > 0 else N_max)
-        seg = utt.seg_ids
-        if W_store >= W_dp:
-            seg = seg[..., :W_dp]
-        else:
-            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
-                          constant_values=-1)
-        ids = jnp.maximum(seg, 0)
-        return am.X[ids], am.log_prior_vec[ids]
+        return cand_tables(self.utterances, self.n_slices_max, am.X,
+                           am.log_prior_vec)
 
     def _get_chunk_fn(self, assignments_only: bool):
         if getattr(self, "_chunk_fn", None) is None:

@@ -373,6 +373,76 @@ def seed_assignments_to_vector(utterances, ids_to_utterance_labels,
     return seed_to_cluster, am_K
 
 
+def drain_pending_record(record, pending, fetched, start, append_one,
+                         logger):
+    """Fan the end-of-run batched metric fetch out into the record dict.
+
+    Shared by all three drivers so the pending-tuple protocol and the
+    timing semantics live in ONE place.  ``pending`` holds
+    ``(t_dispatched, n_sweeps, aux)`` per dispatch (``aux``: host-side
+    extras, e.g. the chunk's temperatures); ``fetched`` aligns with it and
+    holds the dispatch's fetched device values — a pytree whose leaves gain
+    a leading sweep axis when ``n_sweeps > 1`` (the fused-chunk case).
+    ``append_one(record, aux, j, fetched_j)`` appends one sweep's
+    driver-specific keys; ``sample_time`` is appended here: each sweep in a
+    fused chunk reports the chunk wall time divided evenly (documented
+    averaged semantics), and the total wall time is folded into the last
+    entry so the sum stays honest even when dispatch-side timestamps
+    under-measure a device running behind.
+    """
+    import time
+
+    prev_t = start
+    i_iter = 0
+    for (t_disp, n, aux), f in zip(pending, fetched):
+        dt = (t_disp - prev_t) / n
+        prev_t = t_disp
+        for j in range(n):
+            f_j = jax.tree.map(lambda a: a[j], f) if n > 1 else f
+            record["sample_time"].append(dt)
+            append_one(record, aux, j, f_j)
+            info = "iteration: " + str(i_iter)
+            for k in sorted(record):
+                info += ", " + k + ": " + str(record[k][-1])
+            logger.info(info)
+            i_iter += 1
+    total = time.time() - start
+    if record["sample_time"]:
+        record["sample_time"][-1] += total - sum(record["sample_time"])
+    return record
+
+
+def cand_tables(utterances, n_slices_max: int, X, log_prior_vec=None):
+    """Sweep-static candidate slab tensors ``X[seg_ids]`` (and, when given,
+    ``log_prior_vec[seg_ids]``), shaped [U, N_max, W_dp, ...].
+
+    Built once per sweep-builder and closed over / passed as jit arguments,
+    so per-block candidate access is a contiguous slab index instead of a
+    15k-tiny-row gather (round-3 stage attribution: ~2.5 ms/sweep of pure
+    gather latency at flagship scale).  The stored window ``W_store`` is
+    clamped to the DP window ``W_dp = min(n_slices_max, N_max)`` — spans the
+    DP can never sample carry no slab rows — or -1-padded up to it when the
+    data provides fewer stored spans than the DP may propose.  Rows at
+    ``seg_ids == -1`` are clamped to row 0 (garbage); every consumer masks
+    on the id sign, same convention as ``slab_segment_rows``.
+
+    Shared by all three drivers (unigram / bigram / k-means) so the window
+    clamp/pad logic cannot diverge between them.
+    """
+    N_max, W_store = utterances.N_max, utterances.W
+    W_dp = min(n_slices_max, N_max) if n_slices_max > 0 else N_max
+    seg = utterances.seg_ids
+    if W_store >= W_dp:
+        seg = seg[..., :W_dp]
+    else:
+        seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
+                      constant_values=-1)
+    ids = jnp.maximum(seg, 0)
+    if log_prior_vec is None:
+        return X[ids], None
+    return X[ids], log_prior_vec[ids]
+
+
 def pad_utterance_order(order, batch_size: int):
     """Pad a [U] permutation to a multiple of ``batch_size`` with -1.
 

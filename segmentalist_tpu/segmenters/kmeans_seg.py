@@ -34,6 +34,7 @@ from ..models.kmeans import (
 from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF
 from .common import (
+    cand_tables,
     flat_contrib,
     gather_block_segments,
     merge_assignments,
@@ -222,7 +223,8 @@ class SegmentalKMeansWordseg:
             and not validate and getattr(self, "_mesh", None) is None
             and not getattr(self, "_shard_map_mode", False)
         )
-        pending = []
+        pending = []  # (t_dispatched, n_sweeps, None)
+        pending_dev = []  # aligned (objective, metrics) device values
         pending_monitor = []
         pending_validate = []
         start = time.time()
@@ -238,7 +240,8 @@ class SegmentalKMeansWordseg:
                 self._sweeps_since_resync += _WORDSEG_CHUNK
                 if self._sweeps_since_resync >= _RESYNC_EVERY:
                     self._resync_stats()
-                pending.append((time.time(), _WORDSEG_CHUNK, objs, ms))
+                pending.append((time.time(), _WORDSEG_CHUNK, None))
+                pending_dev.append((objs, ms))
                 i_iter += _WORDSEG_CHUNK
                 continue
             if segment_debug_only:
@@ -250,8 +253,9 @@ class SegmentalKMeansWordseg:
             self._sweeps_since_resync += 1
             if self._sweeps_since_resync >= _RESYNC_EVERY:
                 self._resync_stats()
-            pending.append((time.time(), 1, obj_dev,
-                            self.acoustic_model.sweep_metrics_device()))
+            pending.append((time.time(), 1, None))
+            pending_dev.append((obj_dev,
+                                self.acoustic_model.sweep_metrics_device()))
             if monitor_i is not None:
                 pending_monitor.append(self._monitor_device(int(monitor_i)))
             if validate:
@@ -267,31 +271,19 @@ class SegmentalKMeansWordseg:
         if validate:
             dbg.check_validation(jax.device_get(pending_validate),
                                  dbg.KMEANS_CHECKS)
-        fetched = jax.device_get([(o, m) for _, _, o, m in pending])
-        prev_t = start
-        i_iter = 0
-        for (t_disp, n, _, _), (obj, m_fetched) in zip(pending, fetched):
-            dt = (t_disp - prev_t) / n
-            prev_t = t_disp
-            for j in range(n):
-                snn, k_act, n_tok = (
-                    jax.tree.map(lambda a: a[j], m_fetched)
-                    if n > 1 else m_fetched)
-                obj_j = obj[j] if n > 1 else obj
-                record["sample_time"].append(dt)
-                record["sum_neg_sqrd_norm"].append(float(snn))
-                record["sum_neg_len_sqrd_norm"].append(float(obj_j))
-                record["components"].append(int(k_act))
-                record["n_tokens"].append(int(n_tok))
-                info = "iteration: " + str(i_iter)
-                for k in sorted(record):
-                    info += ", " + k + ": " + str(record[k][-1])
-                logger.info(info)
-                i_iter += 1
-        total = time.time() - start
-        if record["sample_time"]:
-            record["sample_time"][-1] += total - sum(record["sample_time"])
-        return record
+        fetched = jax.device_get(pending_dev)
+
+        def append_one(rec, _aux, j, f):
+            obj, (snn, k_act, n_tok) = f
+            rec["sum_neg_sqrd_norm"].append(float(snn))
+            rec["sum_neg_len_sqrd_norm"].append(float(obj))
+            rec["components"].append(int(k_act))
+            rec["n_tokens"].append(int(n_tok))
+
+        from .common import drain_pending_record
+
+        return drain_pending_record(record, pending, fetched, start,
+                                    append_one, logger)
 
     # ------------------------------------------------------------ internals
 
@@ -404,19 +396,9 @@ class SegmentalKMeansWordseg:
         return self._sweep_fn
 
     def _cand_table(self):
-        """See ``UnigramAcousticWordseg._cand_tables`` (X only)."""
-        am = self.acoustic_model
-        utt = self.utterances
-        N_max, W_store = utt.N_max, utt.W
-        W_dp = (min(self.n_slices_max, N_max)
-                if self.n_slices_max > 0 else N_max)
-        seg = utt.seg_ids
-        if W_store >= W_dp:
-            seg = seg[..., :W_dp]
-        else:
-            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
-                          constant_values=-1)
-        return am.X[jnp.maximum(seg, 0)]
+        """Sweep-static candidate slab, X only (``common.cand_tables``)."""
+        return cand_tables(self.utterances, self.n_slices_max,
+                           self.acoustic_model.X)[0]
 
     def _get_chunk_fn(self):
         if getattr(self, "_chunk_fn", None) is None:

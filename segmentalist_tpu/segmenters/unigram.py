@@ -34,6 +34,7 @@ from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, logsumexp
 from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
+    cand_tables,
     flat_contrib,
     gather_block_segments,
     leave_out_stats,
@@ -345,7 +346,8 @@ class UnigramAcousticWordseg:
             and getattr(self, "_mesh", None) is None
             and not getattr(self, "_shard_map_mode", False)
         )
-        pending = []  # (t_dispatched, n_sweeps, temps, log_prob dev, metrics dev)
+        pending = []  # (t_dispatched, n_sweeps, temps)
+        pending_dev = []  # aligned (log_prob, metrics) device values
         pending_monitor = []
         pending_validate = []
         start = time.time()
@@ -360,7 +362,8 @@ class UnigramAcousticWordseg:
                 (am.stats, am.assignments, self._boundaries_dev, am.key,
                  lps, ms) = chunk(am.stats, am.assignments,
                                   self._boundaries_dev, am.key, ts, ats)
-                pending.append((time.time(), _WORDSEG_CHUNK, ts, lps, ms))
+                pending.append((time.time(), _WORDSEG_CHUNK, ts))
+                pending_dev.append((lps, ms))
                 i_iter += _WORDSEG_CHUNK
                 continue
             if am_n_iter > 0:
@@ -375,7 +378,8 @@ class UnigramAcousticWordseg:
             blocks = pad_utterance_order(order, self.batch_size)
             log_prob_dev = self._run_blocks_async(blocks, temp, anneal_gibbs_am)
             metrics_dev = self.acoustic_model.sweep_metrics_device()
-            pending.append((time.time(), 1, [temp], log_prob_dev, metrics_dev))
+            pending.append((time.time(), 1, [temp]))
+            pending_dev.append((log_prob_dev, metrics_dev))
             if monitor_i is not None:
                 pending_monitor.append(self._monitor_device(int(monitor_i)))
             if validate:
@@ -388,38 +392,23 @@ class UnigramAcousticWordseg:
         if validate:
             dbg.check_validation(jax.device_get(pending_validate),
                                  dbg.FBGMM_CHECKS)
-        fetched = jax.device_get([(lp, m) for _, _, _, lp, m in pending])
-        prev_t = start
-        i_iter = 0
-        for (t_disp, n, ts, _, _), (log_prob, m_fetched) in zip(
-            pending, fetched
-        ):
-            dt = (t_disp - prev_t) / n
-            prev_t = t_disp
-            for j in range(n):
-                m_tuple = (jax.tree.map(lambda a: a[j], m_fetched)
-                           if n > 1 else m_fetched)
-                lp_j = log_prob[j] if n > 1 else log_prob
-                m = self.acoustic_model.metrics_to_dict(m_tuple)
-                record["sample_time"].append(dt)
-                record["log_marg"].append(m["log_marg"])
-                record["log_marg*length"].append(float(lp_j))
-                record["log_prob_z"].append(m["log_prob_z"])
-                record["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
-                record["anneal_temp"].append(float(ts[j]))
-                record["components"].append(m["components"])
-                record["n_tokens"].append(m["n_assigned"])
-                info = "iteration: " + str(i_iter)
-                for k in sorted(record):
-                    info += ", " + k + ": " + str(record[k][-1])
-                logger.info(info)
-                i_iter += 1
-        # Dispatch-side timestamps under-measure when the device runs behind;
-        # fold the total wall time into the last entry so the sum is honest.
-        total = time.time() - start
-        if record["sample_time"]:
-            record["sample_time"][-1] += total - sum(record["sample_time"])
-        return record
+        fetched = jax.device_get(pending_dev)
+
+        def append_one(rec, ts, j, f):
+            log_prob, m_tuple = f
+            m = self.acoustic_model.metrics_to_dict(m_tuple)
+            rec["log_marg"].append(m["log_marg"])
+            rec["log_marg*length"].append(float(log_prob))
+            rec["log_prob_z"].append(m["log_prob_z"])
+            rec["log_prob_X_given_z"].append(m["log_prob_X_given_z"])
+            rec["anneal_temp"].append(float(ts[j]))
+            rec["components"].append(m["components"])
+            rec["n_tokens"].append(m["n_assigned"])
+
+        from .common import drain_pending_record
+
+        return drain_pending_record(record, pending, fetched, start,
+                                    append_one, logger)
 
     def segment(self, *args, **kwargs):  # pragma: no cover - convenience alias
         return self.gibbs_sample(*args, **kwargs)
@@ -759,7 +748,16 @@ class UnigramAcousticWordseg:
                 params_b = jax.vmap(
                     lambda s: cov.predictive_params(prior, s)
                 )(lo)
-                post = None if (pallas and cov_type in ("fixed", "diag")) \
+                # Diag Viterbi scores feed a DETERMINISTIC argmax DP, and
+                # the fused diag kernel's grouped-product Student-t
+                # deviates up to ~3.3e-3 from the exact composition on
+                # hardware (ops/pallas_score.py) -- enough to flip
+                # boundaries between the Pallas and XLA-fallback paths.
+                # Gate the fused kernel to the sampled path; Viterbi uses
+                # the exact per-dim composition on every backend.
+                fused_ok = cov_type == "fixed" or (
+                    cov_type == "diag" and not viterbi_assign)
+                post = None if (pallas and fused_ok) \
                     else jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
             w_b = jax.vmap(
                 lambda c: log_weights(c, alpha, K_max, lms,
@@ -895,23 +893,10 @@ class UnigramAcousticWordseg:
         return block_step
 
     def _cand_tables(self):
-        """Eagerly precompute the sweep-static candidate tensors
-        ``X[seg_ids]`` and ``log_prior_vec[seg_ids]`` ([U, N_max, W_dp, ...]):
-        built once per sweep-builder, closed over as constants, so per-block
-        candidate access is a slab index instead of a 15k-row gather."""
+        """Sweep-static candidate slabs (see ``common.cand_tables``)."""
         am = self.acoustic_model
-        utt = self.utterances
-        N_max, W_store = utt.N_max, utt.W
-        W_dp = (min(self.n_slices_max, N_max)
-                if self.n_slices_max > 0 else N_max)
-        seg = utt.seg_ids
-        if W_store >= W_dp:
-            seg = seg[..., :W_dp]
-        else:
-            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
-                          constant_values=-1)
-        ids = jnp.maximum(seg, 0)
-        return am.X[ids], am.log_prior_vec[ids]
+        return cand_tables(self.utterances, self.n_slices_max, am.X,
+                           am.log_prior_vec)
 
     def _get_chunk_fn(self):
         if getattr(self, "_chunk_fn", None) is None:

@@ -149,3 +149,13 @@ def test_checkpoint_roundtrip_bigram_lm_state(tmp_path):
     npt.assert_array_equal(np.asarray(seg.lm.state.bigram_counts), big_before)
     rec = seg.gibbs_sample(1)
     assert np.isfinite(rec["log_marg"][-1])
+
+
+def test_embedding_id_bound_enforced():
+    """Ids >= 2**24 would be quantized by the sweep's one-hot f32 id pulls
+    (segmenters/common._gather2); the corpus rejects them at construction."""
+    lengths, vec_ids, durations, landmarks = _toy_utt_inputs(n_utt=2)
+    vec_ids[0][0] = 2 ** 24
+    with pytest.raises(ValueError, match="2\\*\\*24"):
+        Utterances(lengths, vec_ids, durations, landmarks,
+                   p_boundary_init=0, n_slices_max=3)

@@ -245,3 +245,19 @@ def test_no_host_sync_for_p_continue():
     seg2.calc_p_continue = boom
     record2 = seg2.gibbs_sample(2)
     assert np.isfinite(record2["log_marg"]).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_segmenter_drops_cached_sweep_and_chunk_fns():
+    """shard_segmenter changes batch_size / device placement, so BOTH the
+    cached single-sweep fn and the fused-chunk fn (built against pre-mesh
+    closed-over tensors) must be invalidated."""
+    import __graft_entry__ as ge
+
+    seg = ge._build_segmenter(n_utterances=16, batch_size=5, seed=1)
+    seg._sweep_fn = object()  # sentinels: stale caches from a prior run
+    seg._chunk_fn = object()
+    shard_segmenter(seg, make_mesh(8))
+    assert seg._sweep_fn is None
+    assert seg._chunk_fn is None
+    assert seg.batch_size % 8 == 0
