@@ -726,3 +726,34 @@ def test_length_sort_pairs_rows_with_utterances():
     for b in range(B):
         src = np.flatnonzero((embeds == se[b]).all(1))
         assert any((other[s] == so[b]).all() for s in src)
+
+
+def test_pick_b_tile_fixed_point_and_fit():
+    """The tile pick must satisfy the budget implied by ITS OWN grid (the
+    stricter budget applies exactly when the final grid exceeds the
+    threshold), fit VMEM whenever a smaller power-of-two tile could, and
+    never shrink below the validated flat-penalty behaviour."""
+    from segmentalist_tpu.ops.pallas_chain import _pick_b_tile, _round_up
+
+    rng = np.random.default_rng(0)
+    for _ in range(2000):
+        per_utt = float(rng.uniform(1e4, 6e6))
+        cap = int(rng.choice([8, 16, 32]))
+        B = int(rng.integers(1, 4097))
+        shared = float(rng.uniform(0, 5e6))
+        budget = float(rng.choice([12 * 2 ** 20, 13.5 * 2 ** 20]))
+        strict = int(rng.choice([8, 16]))
+        bt = _pick_b_tile(per_utt, cap, B, shared_bytes=shared,
+                          budget=budget, strict_above=strict)
+        assert 1 <= bt <= cap
+        grid = _round_up(B, bt) // bt
+        bud = budget - (2.5 * 2 ** 20 if grid > strict else 0.0)
+        # fits its own grid's budget, or is already the minimum tile
+        assert bt == 1 or shared + per_utt * bt <= bud
+        # maximal: doubling the tile would blow the (possibly laxer)
+        # budget of the doubled tile's own grid, or exceed the cap
+        if bt < cap and _round_up(B, 8) > bt:
+            bt2 = bt * 2
+            grid2 = _round_up(B, bt2) // bt2
+            bud2 = budget - (2.5 * 2 ** 20 if grid2 > strict else 0.0)
+            assert shared + per_utt * bt2 > bud2
