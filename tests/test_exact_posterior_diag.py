@@ -183,3 +183,79 @@ def test_diag_single_move_transition_kernel():
         if p > 0.005:
             sigma = np.sqrt(p * (1 - p) / n_trials)
             assert abs(emp[key] - p) < 5 * sigma + 1e-9, (key, p, emp[key])
+
+
+def test_diag_viterbi_move_matches_argmax_oracle():
+    """fb_type="viterbi" with the diag backend is fully deterministic: the
+    move must pick the argmax-score segmentation (max-product DP over the
+    enumerated patterns) then MAP assignments with chained statistics
+    (map_assign_i omits the lms scaling and the weight denominator,
+    reference fbgmm.py:465-494).  Covers the Viterbi diag scoring path,
+    which is gated to the EXACT per-dim Student-t composition on every
+    backend (the grouped-product kernel's ~3.3e-3 hardware deviation must
+    not feed a deterministic argmax; ``fused_ok`` in
+    segmenters/unigram.py)."""
+    K = 2
+    seg, emb0 = _build_diag_segmenter()
+    seg.set_fb_type("viterbi")
+    am = seg.acoustic_model
+
+    X_all = np.asarray(am.X)
+    counts = np.asarray(am.stats.counts).astype(float)
+    assignments = np.asarray(am.assignments)
+    sum_x = np.zeros((K, D_D))
+    sum_sq = np.zeros((K, D_D))
+    for i, k in enumerate(assignments):
+        if k >= 0:
+            sum_x[k] += X_all[i]
+            sum_sq[k] += X_all[i] ** 2
+    old_embeds = [e for e in seg.utterances.get_segmented_embeds_i(0)
+                  if e != -1]
+    lo_c, lo_sx, lo_sq = counts.copy(), sum_x.copy(), sum_sq.copy()
+    for e in old_embeds:
+        k = assignments[e]
+        lo_c[k] -= 1
+        lo_sx[k] -= emb0[e]
+        lo_sq[k] -= emb0[e] ** 2
+
+    def pred(x, k, c, sx, sq):
+        if c[k] > 0:
+            return _diag_pred_logpdf(x, c[k], sx[k], sq[k])
+        return _diag_pred_logpdf(x, 0.0, np.zeros(D_D), np.zeros(D_D))
+
+    def cand_score(e):
+        x = emb0[e]
+        return lse([
+            np.log(ALPHA_D / K + lo_c[k]) - np.log(lo_c.sum() + ALPHA_D)
+            + pred(x, k, lo_c, lo_sx, lo_sq) for k in range(K)
+        ])
+
+    best_p = max(_PATTERNS2,
+                 key=lambda p: sum(cand_score(e)
+                                   for e in _pattern_embeds2(p)))
+    c, sx, sq = lo_c.copy(), lo_sx.copy(), lo_sq.copy()
+    best_ks = []
+    for e in _pattern_embeds2(best_p):
+        x = emb0[e]
+        logits = [np.log(ALPHA_D / K + c[kk]) + pred(x, kk, c, sx, sq)
+                  for kk in range(K)]
+        k = int(np.argmax(logits))
+        best_ks.append(k)
+        c[k] += 1
+        sx[k] += x
+        sq[k] += x ** 2
+
+    stats0, assign0 = am.stats, am.assignments
+    bounds0 = seg._boundaries_dev
+    for t in range(4):  # deterministic under any PRNG key
+        am.stats, am.assignments = stats0, assign0
+        seg._boundaries_dev = bounds0
+        am.key = jax.random.PRNGKey(90_000 + t)
+        seg.gibbs_sample_i(0)
+        bounds = tuple(
+            np.asarray(seg._boundaries_dev)[0, :2].astype(int).tolist()
+        )
+        assert bounds == best_p, (bounds, best_p)
+        ks = [int(np.asarray(am.assignments)[e])
+              for e in _pattern_embeds2(bounds)]
+        assert ks == best_ks, (ks, best_ks)
