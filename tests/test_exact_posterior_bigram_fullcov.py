@@ -390,3 +390,77 @@ def test_fullcov_single_move_transition_kernel():
         if p > 0.005:
             sigma = np.sqrt(p * (1 - p) / n_trials)
             assert abs(emp[key] - p) < 5 * sigma + 1e-9, (key, p, emp[key])
+
+
+def test_fullcov_viterbi_move_matches_argmax_oracle():
+    """fb_type="viterbi" with the full-NIW backend is fully deterministic:
+    argmax-score segmentation then MAP chained assignments (map_assign_i
+    omits the lms scaling and the weight denominator, reference
+    fbgmm.py:465-494).  Completes the per-backend Viterbi oracle row
+    (fixed-var: test_exact_posterior.py; diag: test_exact_posterior_diag)
+    and pins the full-cov corrected-scoring + use_argmax chain path."""
+    K = 2
+    seg, emb0 = _build_fullcov_segmenter()
+    seg.set_fb_type("viterbi")
+    am = seg.acoustic_model
+
+    X_all = np.asarray(am.X)
+    counts = np.asarray(am.stats.counts).astype(float)
+    assignments = np.asarray(am.assignments)
+    sum_x = np.zeros((K, D_F))
+    sum_sq = np.zeros((K, D_F, D_F))
+    for i, k in enumerate(assignments):
+        if k >= 0:
+            sum_x[k] += X_all[i]
+            sum_sq[k] += np.outer(X_all[i], X_all[i])
+    old_embeds = [e for e in seg.utterances.get_segmented_embeds_i(0)
+                  if e != -1]
+    lo_c, lo_sx, lo_sq = counts.copy(), sum_x.copy(), sum_sq.copy()
+    for e in old_embeds:
+        k = assignments[e]
+        lo_c[k] -= 1
+        lo_sx[k] -= emb0[e]
+        lo_sq[k] -= np.outer(emb0[e], emb0[e])
+
+    def pred(x, k, c, sx, sq):
+        if c[k] > 0:
+            return _niw_pred_logpdf(x, c[k], sx[k], sq[k])
+        return _niw_pred_logpdf(x, 0.0, np.zeros(D_F),
+                                np.zeros((D_F, D_F)))
+
+    def cand_score(e):
+        x = emb0[e]
+        return lse([
+            np.log(ALPHA_F / K + lo_c[k]) - np.log(lo_c.sum() + ALPHA_F)
+            + pred(x, k, lo_c, lo_sx, lo_sq) for k in range(K)
+        ])
+
+    best_p = max(_PATTERNS2,
+                 key=lambda p: sum(cand_score(e)
+                                   for e in _pattern_embeds2(p)))
+    c, sx, sq = lo_c.copy(), lo_sx.copy(), lo_sq.copy()
+    best_ks = []
+    for e in _pattern_embeds2(best_p):
+        x = emb0[e]
+        logits = [np.log(ALPHA_F / K + c[kk]) + pred(x, kk, c, sx, sq)
+                  for kk in range(K)]
+        k = int(np.argmax(logits))
+        best_ks.append(k)
+        c[k] += 1
+        sx[k] += x
+        sq[k] += np.outer(x, x)
+
+    stats0, assign0 = am.stats, am.assignments
+    bounds0 = seg._boundaries_dev
+    for t in range(4):  # deterministic under any PRNG key
+        am.stats, am.assignments = stats0, assign0
+        seg._boundaries_dev = bounds0
+        am.key = jax.random.PRNGKey(91_000 + t)
+        seg.gibbs_sample_i(0)
+        bounds = tuple(
+            np.asarray(seg._boundaries_dev)[0, :2].astype(int).tolist()
+        )
+        assert bounds == best_p, (bounds, best_p)
+        ks = [int(np.asarray(am.assignments)[e])
+              for e in _pattern_embeds2(bounds)]
+        assert ks == best_ks, (ks, best_ks)
