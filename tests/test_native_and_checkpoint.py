@@ -159,3 +159,42 @@ def test_embedding_id_bound_enforced():
     with pytest.raises(ValueError, match="2\\*\\*24"):
         Utterances(lengths, vec_ids, durations, landmarks,
                    p_boundary_init=0, n_slices_max=3)
+
+
+def test_checkpoint_resume_is_bit_exact(tmp_path):
+    """A restored run continues EXACTLY the uninterrupted chain: the fused-
+    chunk path draws its per-sweep permutations from the carried device key,
+    which the checkpoint captures -- so 16 sweeps == 8 sweeps + save +
+    restore into a FRESH segmenter + 8 sweeps, bit for bit.  Any sampler
+    state missing from segmenter_state() makes this diverge."""
+    import __graft_entry__ as ge
+    from segmentalist_tpu.utils import checkpoint as ckpt
+
+    np.random.seed(0)
+    seg_a = ge._build_segmenter(n_utterances=8, batch_size=4, seed=7)
+    seg_a.gibbs_sample(16)
+
+    np.random.seed(0)
+    seg_b = ge._build_segmenter(n_utterances=8, batch_size=4, seed=7)
+    seg_b.gibbs_sample(8)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), seg_b, step=8)
+
+    # Same corpus (the checkpoint stores sampler state, not the data), but
+    # a scrambled host RNG: chunked runs draw permutations from the carried
+    # device key, so host RNG state must not matter.
+    seg_c = ge._build_segmenter(n_utterances=8, batch_size=4, seed=7)
+    np.random.seed(123)
+    seg_c._rng = np.random.RandomState(123)
+    ckpt.restore_checkpoint(str(tmp_path / "ck"), seg_c, step=8)
+    seg_c.gibbs_sample(8)
+
+    npt.assert_array_equal(np.asarray(seg_a.acoustic_model.assignments),
+                           np.asarray(seg_c.acoustic_model.assignments))
+    npt.assert_array_equal(np.asarray(seg_a._boundaries_dev),
+                           np.asarray(seg_c._boundaries_dev))
+    npt.assert_array_equal(np.asarray(seg_a.acoustic_model.stats.counts),
+                           np.asarray(seg_c.acoustic_model.stats.counts))
+    npt.assert_array_equal(np.asarray(seg_a.acoustic_model.key),
+                           np.asarray(seg_c.acoustic_model.key))
+    npt.assert_array_equal(np.asarray(seg_a.acoustic_model.stats.sum_x),
+                           np.asarray(seg_c.acoustic_model.stats.sum_x))
