@@ -5,6 +5,13 @@ state in this framework is already a flat pytree of arrays (sufficient stats,
 assignments, boundaries, LM counts, PRNG key), checkpointing is a single
 pytree save/restore.  Uses orbax when available, with a plain ``.npz``
 fallback so checkpoints never depend on optional packages.
+
+Resume semantics: fused-chunk runs (the default for >= _WORDSEG_CHUNK
+sweeps with no per-sweep host work) draw their utterance permutations from
+the carried device key, so a restored run continues the chain BIT-EXACTLY
+(tests/test_native_and_checkpoint.py::test_checkpoint_resume_is_bit_exact).
+Unchunked sweeps permute with the host RNG, which is not checkpointed --
+resume there is exact in distribution, not bit-for-bit.
 """
 
 from __future__ import annotations
