@@ -34,11 +34,14 @@ def _check_segmentation(seg):
         assert (a >= 0).sum() == n_tokens
 
 
-@pytest.mark.parametrize("seed,cov_type", [
-    (0, "fixed"), (1, "fixed"), (2, "fixed"),
-    (7, "diag"), (8, "full"), (10, "full"),
+@pytest.mark.parametrize("seed,cov_type,fb_type", [
+    (0, "fixed", "standard"), (1, "fixed", "standard"),
+    (2, "fixed", "standard"), (7, "diag", "standard"),
+    (8, "full", "standard"), (10, "full", "standard"),
+    (11, "fixed", "viterbi"), (12, "diag", "viterbi"),
+    (14, "full", "viterbi"),
 ])
-def test_unigram_fuzz(seed, cov_type):
+def test_unigram_fuzz(seed, cov_type, fb_type):
     from segmentalist_tpu import NIW
 
     rng = np.random.RandomState(seed)
@@ -67,8 +70,22 @@ def test_unigram_fuzz(seed, cov_type):
         n_slices_min=int(rng.choice([0, 1])), n_slices_max=W,
         time_power_term=float(rng.choice([1.0, 1.2])),
         wip=float(rng.uniform(-1, 1)), batch_size=int(rng.randint(1, 5)),
-        seed=seed)
+        fb_type=fb_type, seed=seed)
     rec = seg.gibbs_sample(3, validate=True)
+    if fb_type == "viterbi":
+        # Deterministic given (sampler state, host-RNG state): replaying a
+        # sweep from a snapshot must reproduce it exactly on any backend.
+        am = seg.acoustic_model
+        snap = (am.stats, am.assignments, seg._boundaries_dev, am.key,
+                seg._rng.get_state())
+        seg.gibbs_sample(1, validate=True)
+        a1 = np.asarray(am.assignments).copy()
+        b1 = np.asarray(seg._boundaries_dev).copy()
+        am.stats, am.assignments, seg._boundaries_dev, am.key = snap[:4]
+        seg._rng.set_state(snap[4])
+        seg.gibbs_sample(1, validate=True)
+        np.testing.assert_array_equal(a1, np.asarray(am.assignments))
+        np.testing.assert_array_equal(b1, np.asarray(seg._boundaries_dev))
     assert np.isfinite(rec["log_marg"]).all()
     _check_segmentation(seg)
 
