@@ -261,3 +261,29 @@ def test_shard_segmenter_drops_cached_sweep_and_chunk_fns():
     assert seg._sweep_fn is None
     assert seg._chunk_fn is None
     assert seg.batch_size % 8 == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_viterbi_matches_unsharded_exactly():
+    """Viterbi is deterministic and the GSPMD path is bit-exact, so the
+    mesh run must reproduce the single-device segmentation EXACTLY --
+    covering the max-product DP + argmax chain under sharding."""
+    import __graft_entry__ as ge
+
+    seg_a = ge._build_segmenter(n_utterances=16, batch_size=8, seed=6)
+    seg_a.set_fb_type("viterbi")
+    seg_a.gibbs_sample(2)
+
+    seg_b = ge._build_segmenter(n_utterances=16, batch_size=8, seed=6)
+    seg_b.set_fb_type("viterbi")
+    shard_segmenter(seg_b, make_mesh(8))
+    with seg_b._mesh:
+        seg_b.gibbs_sample(2)
+
+    np.testing.assert_array_equal(
+        np.asarray(seg_a.acoustic_model.assignments),
+        np.asarray(seg_b.acoustic_model.assignments),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(seg_a._boundaries_dev), np.asarray(seg_b._boundaries_dev)
+    )
