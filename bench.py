@@ -43,6 +43,12 @@ bookkeeping overhead we do not charge.
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "configs": {name:
    {"sweeps_per_sec", "ref_sweeps_per_sec", "vs_baseline", "f1"}}}
+
+On ANY failure (most commonly: the TPU tunnel is down and the axon backend
+cannot initialize) it still prints exactly one JSON line -- with an "error"
+field and whatever configs completed -- and exits nonzero.  The traceback
+goes to stderr.  The one-JSON-line-on-stdout invariant holds in both
+outcomes (CLAUDE.md).
 """
 
 import json
@@ -456,14 +462,15 @@ def fixed_prior_2d():
 
 # --------------------------------------------------------------------------
 
-def main():
+def main(configs):
+    # Fail fast (and clean) when the TPU backend cannot initialize: the
+    # tunnel being down raises here, before any timing work.
+    log("backend: %s" % (jax.devices(),))
     em, vi, du, lm, truth = corpus()
     n_cand = sum(m.shape[0] for m in em.values())
     n_landmarks = sum(len(v) for v in lm.values())
     log("corpus: %d utterances, %d candidates, %d landmarks, K=%d, D=%d"
         % (N_UTT, n_cand, n_landmarks, K_COMPONENTS, D_EMBED))
-
-    configs = {}
 
     def add(name, sweep_s, ref_sweep_s, f1=None):
         configs[name] = {
@@ -584,4 +591,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _configs = {}
+    try:
+        main(_configs)
+    except Exception as e:  # noqa: BLE001 - one JSON line in BOTH outcomes
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        msg = "%s: %s" % (type(e).__name__, e)
+        if "Unable to initialize backend" in str(e):
+            msg = "tpu-backend-unavailable: " + msg
+        print(json.dumps({
+            "metric": "unigram_fbgmm_gibbs_sweeps_per_sec_buckeye_scale",
+            "value": 0.0,
+            "unit": "sweeps/sec (52k candidates, K=1000, 1 chip)",
+            "vs_baseline": 0.0,
+            "error": msg[:500],
+            "configs": _configs,
+        }))
+        sys.exit(1)

@@ -40,4 +40,8 @@ def __getattr__(name):
     if name == "BigramSmoothLM":
         from .models.bigram_lm import BigramSmoothLM
         return BigramSmoothLM
+    if name == "wishart":
+        import importlib
+
+        return importlib.import_module(".wishart", __name__)
     raise AttributeError(name)

@@ -215,7 +215,9 @@ class Utterances:
         return jnp.asarray(self._boundaries)
 
     def set_boundaries_from_device(self, boundaries):
-        self._boundaries = np.asarray(boundaries).astype(bool)
+        # [:self.D]: under a mesh the device tensor may carry dead padding
+        # rows so the utterance axis shards evenly (parallel/mesh.py).
+        self._boundaries = np.asarray(boundaries)[: self.D].astype(bool)
 
     # -- segmentation queries (reference utterances.py:159-229) ---------------
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -42,9 +43,13 @@ def shard_segmenter(seg, mesh: Mesh, axis_name: str = "data"):
 
     Works for UnigramAcousticWordseg / BigramAcousticWordseg /
     SegmentalKMeansWordseg; mutates the segmenter in place and returns it.
-    Utterance counts that do not divide the mesh are handled by padding the
-    sweep's block dimension (see ``pad_utterance_order``); here we require
-    batch_size to be a multiple of the mesh size so each block splits evenly.
+    Utterance counts that do not divide the mesh are padded up with DEAD
+    utterances (length 0, ``seg_ids`` -1 -- the same mask convention as
+    positions beyond a real utterance's length), so the corpus axis always
+    shards.  Dead rows are never in any sweep block (blocks permute the
+    REAL ``utterances.D`` indices) and the host boundary sync slices back
+    to the real count.  batch_size is rounded up to a multiple of the mesh
+    size so each block splits evenly.
     """
     n = mesh.devices.size
     if seg.batch_size % n != 0:
@@ -57,16 +62,18 @@ def shard_segmenter(seg, mesh: Mesh, axis_name: str = "data"):
 
     utt = seg.utterances
     U = utt.seg_ids.shape[0]
-    if U % n == 0:
-        utt.seg_ids = jax.device_put(utt.seg_ids, shard_u)
-        utt.seg_durations = jax.device_put(utt.seg_durations, shard_u)
-        seg._boundaries_dev = jax.device_put(seg._boundaries_dev, shard_u)
-        utt.lengths_dev = jax.device_put(utt.lengths_dev, shard_u)
-    else:  # uneven corpus: replicate (gathers stay local-ish, still correct)
-        utt.seg_ids = jax.device_put(utt.seg_ids, repl)
-        utt.seg_durations = jax.device_put(utt.seg_durations, repl)
-        seg._boundaries_dev = jax.device_put(seg._boundaries_dev, repl)
-        utt.lengths_dev = jax.device_put(utt.lengths_dev, repl)
+    pad = (-U) % n
+    if pad:
+        pad_rows = lambda a, val: jnp.concatenate(  # noqa: E731
+            [a, jnp.full((pad,) + a.shape[1:], val, a.dtype)], axis=0)
+        utt.seg_ids = pad_rows(utt.seg_ids, -1)
+        utt.seg_durations = pad_rows(utt.seg_durations, jnp.nan)
+        utt.lengths_dev = pad_rows(utt.lengths_dev, 0)
+        seg._boundaries_dev = pad_rows(seg._boundaries_dev, 0)
+    utt.seg_ids = jax.device_put(utt.seg_ids, shard_u)
+    utt.seg_durations = jax.device_put(utt.seg_durations, shard_u)
+    seg._boundaries_dev = jax.device_put(seg._boundaries_dev, shard_u)
+    utt.lengths_dev = jax.device_put(utt.lengths_dev, shard_u)
 
     am = seg.acoustic_model
     am.X = jax.device_put(am.X, repl)

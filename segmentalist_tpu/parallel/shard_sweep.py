@@ -77,13 +77,13 @@ def _shard_map(body, mesh, in_specs, out_specs):
 
 
 def _prep(seg, mesh):
+    # shard_segmenter pads the utterance axis and rounds batch_size up to
+    # mesh multiples, so both divide here by construction.
     n = mesh.devices.size
     U = seg.utterances.seg_ids.shape[0]
-    assert U % n == 0, "corpus must divide the mesh for the shard_map sweep"
-    B_loc = seg.batch_size // n
-    assert B_loc * n == seg.batch_size, \
-        "batch_size must divide the mesh for the shard_map sweep"
-    return n, U // n, B_loc
+    assert U % n == 0 and seg.batch_size % n == 0, \
+        "call parallel.mesh.shard_segmenter(seg, mesh) first"
+    return n, U // n, seg.batch_size // n
 
 
 def build_unigram_shard_sweep(seg, mesh: Mesh, axis: str = "data"):

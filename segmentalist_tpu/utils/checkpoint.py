@@ -8,10 +8,11 @@ fallback so checkpoints never depend on optional packages.
 
 Resume semantics: fused-chunk runs (the default for >= _WORDSEG_CHUNK
 sweeps with no per-sweep host work) draw their utterance permutations from
-the carried device key, so a restored run continues the chain BIT-EXACTLY
-(tests/test_native_and_checkpoint.py::test_checkpoint_resume_is_bit_exact).
-Unchunked sweeps permute with the host RNG, which is not checkpointed --
-resume there is exact in distribution, not bit-for-bit.
+the carried device key; unchunked sweeps permute with the host
+``RandomState``, whose MT19937 state is captured in the checkpoint.  A
+restored run therefore continues the chain BIT-EXACTLY on BOTH paths
+(tests/test_native_and_checkpoint.py::test_checkpoint_resume_is_bit_exact,
+test_checkpoint_resume_unchunked_is_bit_exact).
 """
 
 from __future__ import annotations
@@ -39,6 +40,18 @@ def segmenter_state(seg) -> Dict[str, Any]:
         state["lm"] = seg.lm.state._asdict()
     if hasattr(seg, "_key"):
         state["key"] = seg._key
+    if hasattr(seg, "_rng"):
+        # Host MT19937 state: unchunked sweeps (monitor_i / validate /
+        # am_n_iter, or under a mesh) draw their utterance permutations from
+        # this RandomState, so capturing it makes THOSE resumes bit-exact too.
+        name, keys, pos, has_gauss, cached = seg._rng.get_state()
+        assert name == "MT19937"
+        state["host_rng"] = {
+            "keys": np.asarray(keys, np.uint32),
+            "pos": np.asarray(pos, np.int64),
+            "has_gauss": np.asarray(has_gauss, np.int64),
+            "cached": np.asarray(cached, np.float64),
+        }
     return state
 
 
@@ -67,6 +80,12 @@ def load_segmenter_state(seg, state: Dict[str, Any]) -> None:
         )
     if hasattr(seg, "_key") and "key" in state:
         seg._key = jnp.asarray(state["key"])
+    if hasattr(seg, "_rng") and "host_rng" in state:
+        h = state["host_rng"]
+        seg._rng.set_state((
+            "MT19937", np.asarray(h["keys"], np.uint32), int(h["pos"]),
+            int(h["has_gauss"]), float(h["cached"]),
+        ))
 
 
 def save_checkpoint(path: str, seg, step: int = 0) -> None:

@@ -198,3 +198,35 @@ def test_checkpoint_resume_is_bit_exact(tmp_path):
                            np.asarray(seg_c.acoustic_model.key))
     npt.assert_array_equal(np.asarray(seg_a.acoustic_model.stats.sum_x),
                            np.asarray(seg_c.acoustic_model.stats.sum_x))
+
+
+def test_checkpoint_resume_unchunked_is_bit_exact(tmp_path):
+    """The UNCHUNKED path (validate=True forces per-sweep dispatch) permutes
+    utterances with the host RandomState; the checkpoint captures its MT19937
+    state, so 16 sweeps == 8 + save + restore into a fresh segmenter with a
+    deliberately scrambled host RNG + 8 sweeps, bit for bit."""
+    import __graft_entry__ as ge
+    from segmentalist_tpu.utils import checkpoint as ckpt
+
+    np.random.seed(0)
+    seg_a = ge._build_segmenter(n_utterances=8, batch_size=4, seed=7)
+    seg_a.gibbs_sample(16, validate=True)
+
+    np.random.seed(0)
+    seg_b = ge._build_segmenter(n_utterances=8, batch_size=4, seed=7)
+    seg_b.gibbs_sample(8, validate=True)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), seg_b, step=8)
+
+    seg_c = ge._build_segmenter(n_utterances=8, batch_size=4, seed=7)
+    seg_c._rng = np.random.RandomState(999)  # must be overwritten by restore
+    ckpt.restore_checkpoint(str(tmp_path / "ck"), seg_c, step=8)
+    seg_c.gibbs_sample(8, validate=True)
+
+    npt.assert_array_equal(np.asarray(seg_a.acoustic_model.assignments),
+                           np.asarray(seg_c.acoustic_model.assignments))
+    npt.assert_array_equal(np.asarray(seg_a._boundaries_dev),
+                           np.asarray(seg_c._boundaries_dev))
+    npt.assert_array_equal(np.asarray(seg_a.acoustic_model.stats.counts),
+                           np.asarray(seg_c.acoustic_model.stats.counts))
+    npt.assert_array_equal(np.asarray(seg_a.acoustic_model.stats.sum_x),
+                           np.asarray(seg_c.acoustic_model.stats.sum_x))

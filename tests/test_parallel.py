@@ -287,3 +287,63 @@ def test_sharded_viterbi_matches_unsharded_exactly():
     np.testing.assert_array_equal(
         np.asarray(seg_a._boundaries_dev), np.asarray(seg_b._boundaries_dev)
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_uneven_corpus_shards_and_matches_unsharded():
+    """A prime-sized corpus (U=13) on an 8-device mesh must SHARD (dead-row
+    padding, not the old full-replication fallback) and still reproduce the
+    single-device chain exactly (deterministic Viterbi)."""
+    import __graft_entry__ as ge
+
+    seg_a = ge._build_segmenter(n_utterances=13, batch_size=8, seed=9)
+    seg_a.set_fb_type("viterbi")
+    seg_a.gibbs_sample(2)
+
+    seg_b = ge._build_segmenter(n_utterances=13, batch_size=8, seed=9)
+    seg_b.set_fb_type("viterbi")
+    shard_segmenter(seg_b, make_mesh(8))
+    assert seg_b.utterances.seg_ids.shape[0] == 16  # padded to mesh multiple
+    assert not seg_b._boundaries_dev.sharding.is_fully_replicated
+    assert not seg_b.utterances.seg_ids.sharding.is_fully_replicated
+    with seg_b._mesh:
+        seg_b.gibbs_sample(2)
+
+    np.testing.assert_array_equal(
+        np.asarray(seg_a.acoustic_model.assignments),
+        np.asarray(seg_b.acoustic_model.assignments),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(seg_a._boundaries_dev),
+        np.asarray(seg_b._boundaries_dev)[:13],
+    )
+    # Host boundary sync slices the padding back off.
+    seg_b._sync_boundaries_to_host()
+    assert seg_b.utterances.boundaries.shape[0] == 13
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_uneven_corpus_shard_map_sweep():
+    """The explicit-collective path on an uneven corpus: shards whose slice
+    is all padding run empty (-1) blocks; the psum'ed state stays globally
+    consistent with a from-scratch rebuild."""
+    import __graft_entry__ as ge
+    from segmentalist_tpu.parallel.shard_sweep import use_shard_map_sweep
+
+    mesh = make_mesh(8)
+    seg = ge._build_segmenter(n_utterances=13, batch_size=8, seed=10)
+    shard_segmenter(seg, mesh)
+    use_shard_map_sweep(seg, mesh)
+    record = seg.gibbs_sample(2)
+    assert np.isfinite(record["log_marg"]).all()
+    am = seg.acoustic_model
+    from segmentalist_tpu.ops.stats import suff_stats_from_assignments
+
+    rebuilt = suff_stats_from_assignments(am.X, am.assignments, am.K_max)
+    np.testing.assert_array_equal(
+        np.asarray(am.stats.counts), np.asarray(rebuilt.counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(am.stats.sum_x), np.asarray(rebuilt.sum_x),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -83,3 +83,33 @@ def test_rand_k_diag_matches_posterior_moments():
     npt.assert_allclose(means.mean(axis=0), m_n, atol=0.05)
     # Var[mean] = E[var] / k_n.
     npt.assert_allclose(means.var(axis=0), (s_n / (v_n - 2)) / k_n, rtol=0.2)
+
+
+def test_wishrnd_iwishrnd_moments():
+    """Public wishart surface (reference wishart.py:16-32): Wishart mean
+    v*Sigma; iwishrnd inverts the draw, so it is IW(Sigma^{-1}, v) with
+    mean Sigma^{-1} / (v - D - 1)."""
+    from segmentalist_tpu import wishart
+
+    D, v = 3, 12.0
+    A = np.array([[2.0, 0.3, 0.0], [0.3, 1.5, 0.2], [0.0, 0.2, 1.0]])
+    sigma = (A @ A.T).astype(np.float64)
+    n_draws = 8000
+    keys = jax.random.split(jax.random.PRNGKey(7), n_draws)
+
+    # Per-element atol from the Wishart element variance
+    # v*(sigma_ij^2 + sigma_ii*sigma_jj): 4 std errors of the MC mean.
+    elem_var = v * (sigma ** 2 + np.outer(np.diag(sigma), np.diag(sigma)))
+    ws = np.asarray(jax.vmap(lambda k: wishart.wishrnd(k, sigma, v))(keys))
+    npt.assert_allclose(ws.mean(axis=0), v * sigma,
+                        atol=4 * np.sqrt(elem_var / n_draws).max())
+
+    iws = np.asarray(jax.vmap(lambda k: wishart.iwishrnd(k, sigma, v))(keys))
+    exp_iw = np.linalg.inv(sigma) / (v - D - 1)
+    npt.assert_allclose(iws.mean(axis=0), exp_iw, rtol=0.12, atol=0.01)
+
+    # Precomputed-Cholesky arg matches the reference's C= reuse path.
+    C = np.linalg.cholesky(sigma)
+    w1 = np.asarray(wishart.wishrnd(keys[0], sigma, v))
+    w2 = np.asarray(wishart.wishrnd(keys[0], sigma, v, C=jnp.asarray(C)))
+    npt.assert_allclose(w1, w2, rtol=1e-10)
