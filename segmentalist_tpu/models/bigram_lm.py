@@ -30,13 +30,18 @@ class BigramLMState(NamedTuple):
     bigram_counts: jnp.ndarray  # [K, K] int32
 
 
+# The tighter of two id bounds: (a) ids must fit the key field of
+# transcript_pairs_batch's (position << 20) | id packing; (b) the corpus
+# log_prob_z replay builds int32 PAIR keys j*K + i (sentinel K*K,
+# segmenters/bigram.py), so K*K must fit int32: K <= floor(sqrt(2^31 - 1)).
+_K_MAX_LM = min(1 << 20, 46340)
+
+
 def empty_lm_state(K: int) -> BigramLMState:
-    # Component ids must fit the key field of transcript_pairs_batch's
-    # (position << 20) | id packing, or ids bleed into the position bits and
-    # cummax silently recovers garbage previous-components.  K is static, so
-    # guard once here — every transcript id is < K.
-    assert K <= (1 << _PAIR_KEY_BITS), (
-        "bigram LM supports K <= 2^%d (got %d)" % (_PAIR_KEY_BITS, K))
+    # K is static, so guard once here — every transcript id is < K.
+    assert K <= _K_MAX_LM, (
+        "bigram LM supports K <= %d (got %d): int32 pair keys j*K+i in the "
+        "log_prob_z replay overflow past that" % (_K_MAX_LM, K))
     return BigramLMState(
         unigram_counts=jnp.zeros((K,), jnp.int32),
         bigram_counts=jnp.zeros((K, K), jnp.int32),

@@ -321,7 +321,10 @@ class FBGMM:
 
         The id list is padded to the next power-of-two bucket with -1
         sentinels (masked inside the scan), so the jit cache holds
-        O(log N) entries instead of one per distinct orphan count."""
+        O(log N) entries instead of one per distinct orphan count.  Per-item
+        keys come from position-indexed ``fold_in``, not ``split(sub,
+        bucket)``, so the draws for the real items are identical whatever
+        bucket the list pads to (seed-reproducible across versions)."""
         ids = np.asarray(ids, dtype=np.int64)
         n_real = len(ids)
         bucket = 8
@@ -340,7 +343,8 @@ class FBGMM:
             @jax.jit
             def run(stats, assignments, key, item_ids, temp):
                 key, sub = jax.random.split(key)
-                item_keys = jax.random.split(sub, item_ids.shape[0])
+                item_keys = jax.vmap(lambda j: jax.random.fold_in(sub, j))(
+                    jnp.arange(item_ids.shape[0]))
                 params0 = cov.predictive_params(prior, stats)
 
                 def step(carry, inp):

@@ -268,12 +268,17 @@ class _KMeansComponentsView:
     def add_item(self, i: int, k: int):
         """Assign ``X[i]`` to slot ``k`` (reference ``add_item``,
         kmeans_components.py:93-111).  Slot-masked design: component labels
-        are stable, so "add a new component" means assigning to any empty
-        slot — ``k`` is used as given (clamped to the slot range) rather
-        than compacted onto ``K``."""
+        are stable, so the reference's "k >= K means a NEW component" maps
+        to the FIRST EMPTY slot (the same canonicalisation as the chain
+        kernels' new-component handling), never silently into an occupied
+        one."""
         o = self._o
-        k = int(min(max(k, 0), o.K_max - 1))
         st = o.state
+        k = int(k)
+        if k < 0 or k >= o.K_max:
+            empty = np.flatnonzero(np.asarray(st.counts) == 0)
+            assert empty.size, "add_item: new component requested, no empty slot"
+            k = int(empty[0])
         assert int(st.assignments[i]) == -1
         o.state = KMeansState(
             assignments=st.assignments.at[i].set(k),

@@ -103,8 +103,11 @@ def _visited_closure(p: Array, lengths: Array) -> Array:
     nodes).  Replaces an earlier boolean matrix-squaring closure that cost
     O(B * N^2) memory and O(B * N^3 * log N) flops.  The per-round
     propagate/compose steps ride one-hot matmuls rather than scatter/gather
-    (TPU scatters serialize per index and this runs inside the sweep scan);
-    HIGHEST precision keeps the f32 passes exact for node indices (< 2^24).
+    (TPU scatters serialize per index and this runs inside the sweep scan).
+    Precision: the jump-composition einsum pulls node INDICES through f32
+    and needs HIGHEST to stay exact below 2^24; the hit-propagation einsum
+    tolerates the default (bf16-pass) precision because its operands are
+    0/1 with f32 accumulation and the result is only thresholded at 0.5.
     """
     B, N1 = p.shape
     m = jnp.arange(N1)[None, :] == lengths.astype(jnp.int32)[:, None]
