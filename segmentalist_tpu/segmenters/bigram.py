@@ -286,6 +286,50 @@ class BigramAcousticWordseg:
         out[ok] = out[ok] * durations[ok] ** self.time_power_term
         return out + self.wip
 
+    def get_vec_embed_log_probs_unigram_all(self, utt_ids=None):
+        """Batch twin of :meth:`get_vec_embed_log_probs_unigram`: scores for
+        MANY utterances in ONE device dispatch over the dense ``[U, N_max,
+        W]`` corpus tensors, returned as packed triangular vectors (see
+        ``unigram.get_vec_embed_log_probs_all`` for layout/window caveats).
+        """
+        from ..models.bigram_lm import log_prob_vec_i
+        from .unigram import _dense_to_tri
+
+        utt = self.utterances
+        if utt_ids is None:
+            utt_ids = np.arange(utt.D)
+        utt_ids = np.asarray(utt_ids, dtype=np.int64)
+        am = self.acoustic_model
+        if not hasattr(self, "_batch_score_fn"):
+            cov = am.cov
+            prior, lms = am.prior, self.lms
+            lm_a, lm_K = self.lm.a, self.lm.K
+
+            @jax.jit
+            def score_all(stats, X, log_prior_vec, lm_state, rows, seg_ids,
+                          seg_durs, tpt, wip):
+                ids_blk = seg_ids[rows]
+                durs_blk = seg_durs[rows]
+                flat = jnp.maximum(ids_blk, 0).reshape(-1)
+                params = cov.predictive_params(prior, stats)
+                w = lms * log_prob_vec_i(lm_state, lm_a, lm_K, X.dtype)
+                post = cov.log_post_pred_batch(params, X[flat])
+                logits = w[None, :] + jnp.where(
+                    (stats.counts > 0)[None, :], post,
+                    log_prior_vec[flat][:, None],
+                )
+                margs = logsumexp(logits, axis=-1).reshape(ids_blk.shape)
+                return masked_candidate_scores(margs, ids_blk, durs_blk,
+                                               tpt, wip)
+
+            self._batch_score_fn = score_all
+        dense = np.asarray(self._batch_score_fn(
+            am.stats, am.X, am.log_prior_vec, self.lm.state,
+            jnp.asarray(utt_ids), utt.seg_ids, utt.seg_durations,
+            self.time_power_term, self.wip,
+        ))
+        return _dense_to_tri(dense, [utt.lengths[i] for i in utt_ids])
+
     def get_vec_embed_log_probs_bigram(self, vec_ids, durations):
         """Raising seam: the reference's bigram candidate scorer is an
         unimplemented stub (``get_vec_embed_log_probs_bigram``,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..corpus import Utterances
-from ..models.fbgmm import FBGMM, log_weights
+from ..models.fbgmm import FBGMM, component_logits_batch, log_weights
 from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, logsumexp
 from ..ops.stats import add_item, canonicalize_new_component
@@ -78,13 +78,38 @@ def process_embeddings(embedding_mats, vec_ids_dict):
 
 def _tri_to_dense(vec, N, W):
     """Packed triangular per-utterance score vector -> dense [1, N, W] scores
-    (see corpus.py for the layouts).  -inf where the span is out of range."""
+    (see corpus.py for the layouts).  -inf where the span is out of range.
+    Vectorised gather (one fancy-index, no Python span loop)."""
     vec = np.asarray(vec, dtype=float)
     out = np.full((1, N, W), -np.inf)
-    for t in range(N):
-        base = (t + 1) * t // 2
-        for w in range(min(W, t + 1)):
-            out[0, t, w] = vec[base + t - w]
+    tg, wg = np.mgrid[0:N, 0:W]
+    ok = wg <= tg  # spans reaching before the utterance start do not exist
+    idx = (tg + 1) * tg // 2 + tg - wg
+    out[0][ok] = vec[idx[ok]]
+    return out
+
+
+def _dense_to_tri(dense, lengths):
+    """Dense [U, N_max, W] scores -> list of packed triangular vectors (the
+    reference's per-utterance layout, ``utterances.py:59-65``), one per row.
+    Slots whose span is wider than the ``W`` window come back -inf: the dense
+    corpus tensors only hold the spans the DP window can consume
+    (corpus.py module docstring).  Vectorised; the index maps are built once
+    for the largest utterance and sliced per row."""
+    dense = np.asarray(dense, dtype=float)
+    _, N_max, W = dense.shape
+    t = np.arange(N_max)
+    tt = np.repeat(t, t + 1)  # packed slot -> span end t
+    jj = np.concatenate([np.arange(k + 1) for k in t])  # packed slot -> start
+    ww = tt - jj  # packed slot -> window index (duration - 1)
+    ok = ww < W
+    out = []
+    for u, N in enumerate(lengths):
+        T = N * (N + 1) // 2
+        vec = np.full(T, -np.inf)
+        m = ok[:T]
+        vec[m] = dense[u, tt[:T][m], ww[:T][m]]
+        out.append(vec)
     return out
 
 
@@ -290,6 +315,54 @@ class UnigramAcousticWordseg:
         ok = valid & ~nan_dur
         out[ok] = out[ok] * durations[ok] ** self.time_power_term
         return out + self.wip
+
+    def get_vec_embed_log_probs_all(self, utt_ids=None):
+        """Candidate scores for MANY utterances in ONE device dispatch.
+
+        The reference (and :meth:`get_vec_embed_log_probs`) scores one
+        utterance per call -- a corpus-scale caller pays one device
+        round-trip per utterance plus the O(N^2) host repack.  This batch
+        twin runs a single jitted kernel over the dense ``[U, N_max, W]``
+        corpus tensors and repacks with one vectorised gather, then returns
+        a list of packed triangular vectors (the reference layout), one per
+        requested utterance (default: all, in corpus order).
+
+        Spans wider than the DP window ``n_slices_max`` come back -inf (the
+        dense tensors only carry the window the DP can consume); the
+        windowed entries match :meth:`get_vec_embed_log_probs` exactly.
+        One compile per distinct ``len(utt_ids)``.
+        """
+        utt = self.utterances
+        if utt_ids is None:
+            utt_ids = np.arange(utt.D)
+        utt_ids = np.asarray(utt_ids, dtype=np.int64)
+        am = self.acoustic_model
+        if not hasattr(self, "_batch_score_fn"):
+            cov, prior = am.cov, am.prior
+            alpha, K_max, lms = am.alpha, am.K_max, am.lms
+
+            @jax.jit
+            def score_all(stats, X, log_prior_vec, rows, seg_ids, seg_durs,
+                          tpt, wip):
+                ids_blk = seg_ids[rows]
+                durs_blk = seg_durs[rows]
+                flat = jnp.maximum(ids_blk, 0).reshape(-1)
+                params = cov.predictive_params(prior, stats)
+                logits = component_logits_batch(
+                    cov, prior, stats, params, X[flat], log_prior_vec[flat],
+                    alpha, K_max, lms, include_denominator=True,
+                )
+                margs = logsumexp(logits, axis=-1).reshape(ids_blk.shape)
+                return masked_candidate_scores(margs, ids_blk, durs_blk,
+                                               tpt, wip)
+
+            self._batch_score_fn = score_all
+        dense = np.asarray(self._batch_score_fn(
+            am.stats, am.X, am.log_prior_vec, jnp.asarray(utt_ids),
+            utt.seg_ids, utt.seg_durations,
+            self.time_power_term, self.wip,
+        ))
+        return _dense_to_tri(dense, [utt.lengths[i] for i in utt_ids])
 
     # ------------------------------------------------------------- sampling
 
