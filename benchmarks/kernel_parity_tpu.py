@@ -7,11 +7,12 @@ fallback on the same inputs and reports:
 
   * chain kernels: fraction of identically-sampled assignment chains on
     shared Gumbel noise.  The XLA fallbacks share the kernels' Stirling
-    lgamma and arithmetic groupings, so 1.0 is expected for every backend
-    except bigram-diag, where compiler-level fma/reduction-order drift of
-    the carried tables flips ~0.5% of steps in long chains at exact logit
-    ties (per-step conditionals are bit-identical: zero flips at chain
-    length <= 2; see CLAUDE.md);
+    lgamma and arithmetic groupings, so 1.0 is expected for EVERY backend.
+    The bigram LM tables must be CONSISTENT (every (corr_j, corr_i) pair
+    counted in big_table, as production guarantees): inconsistent random
+    tables make `row - corr` negative -> log(negative) = NaN logits, and
+    Mosaic's and XLA's argmax NaN semantics differ (this harness artifact
+    was misread as carried-table drift in round 3: 0.896 agreement);
   * scoring kernels / DP: max absolute deviation of the returned values.
 
 Run:  python benchmarks/kernel_parity_tpu.py
@@ -283,7 +284,19 @@ def check_stirling_twins():
     Stirling-lgamma composition (round-3 change): diag / bigram-diag /
     full-NIW / bigram full-NIW chains must sample IDENTICAL chains on
     hardware -- this is the check that retires the CLAUDE.md near-tie
-    tolerance caveat."""
+    tolerance caveat.  Bigram LM tables are built CONSISTENT: the global
+    bigram table counts every correction pair, like production's
+    ``lm_state.bigram_counts`` counts the utterances' own transcript
+    pairs (see module docstring for what inconsistent tables break)."""
+
+    def _count_pairs(big, cj, ci):
+        """big_table + one count per valid (cj, ci) pair, so the kernel's
+        conditioned row stays >= 0 after its own-pair corrections."""
+        pairs = np.zeros(big.shape, np.int32)
+        cj, ci = np.asarray(cj), np.asarray(ci)
+        m = (cj >= 0) & (ci >= 0)
+        np.add.at(pairs, (cj[m], ci[m]), 1)
+        return big + jnp.asarray(pairs)
     from segmentalist_tpu.models import components_diag as cdg
     from segmentalist_tpu.models import components_full as cf
     from segmentalist_tpu.models.bigram_lm import transcript_pairs_batch
@@ -327,6 +340,7 @@ def check_stirling_twins():
     big_table = jnp.asarray(rng.randint(0, 5, (K, K)), dtype=jnp.int32)
     corr_j = jnp.asarray(rng.randint(-1, K, (B, S)), dtype=jnp.int32)
     corr_i = jnp.asarray(rng.randint(-1, K, (B, S)), dtype=jnp.int32)
+    big_table = _count_pairs(big_table, corr_j, corr_i)
     bargs = dargs + (uni_lo, big_table, corr_j, corr_i)
     bkw = dict(alpha_a=1.0, intrp_lambda=0.2, b_smooth=1.5, K=K, lms=1.0)
     bd_nat = bigram_diag_chain(*bargs, interpret=False, **bkw)
@@ -374,7 +388,8 @@ def check_stirling_twins():
     # Bigram full-NIW mode.
     pj, pi = transcript_pairs_batch(old_ks)
     uni_f_lo = jnp.asarray(rng.randint(1, 9, (Bf, K)), dtype=jnp.int32)
-    big_f = jnp.asarray(rng.randint(0, 5, (K, K)), dtype=jnp.int32)
+    big_f = _count_pairs(
+        jnp.asarray(rng.randint(0, 5, (K, K)), dtype=jnp.int32), pj, pi)
     lam, a_s, b_s = 0.2, 1.0, 1.5
     dtype = Xf.dtype
     uni_ff = uni_f_lo.astype(dtype)

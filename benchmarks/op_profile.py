@@ -53,6 +53,9 @@ def build(family):
                                  np.ones(D, np.float32))
     niw = NIW.create(np.zeros(D, np.float32), 0.05, float(D) + 3.0,
                      0.05 * np.eye(D, dtype=np.float32))
+    # The diag backend expects a DIAGONAL S_0 vector, not a matrix.
+    niw_diag = NIW.create(np.zeros(D, np.float32), 0.05, float(D) + 3.0,
+                          0.05 * np.ones(D, np.float32))
     kw = dict(embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
               landmarks_dict=lm, p_boundary_init=0.5,
               n_slices_max=W, batch_size=B, seed=0)
@@ -60,14 +63,14 @@ def build(family):
     if family == "kmeans":
         return SegmentalKMeansWordseg(am_K=K, **kw), "segment"
     if family.startswith("bigram"):
-        cov = {"bigram": ("fixed", fixed), "bigram_diag": ("diag", niw),
+        cov = {"bigram": ("fixed", fixed), "bigram_diag": ("diag", niw_diag),
                "bigram_full": ("full", niw)}[family]
         return BigramAcousticWordseg(
             am_K=K, am_param_prior=cov[1], covariance_type=cov[0],
             lm_params={"type": "smooth", "intrp_lambda": 0.1, "a": 1.0,
                        "b": 1.0},
             beta_sent_boundary=-1, fb_type="unigram", **kw), "gibbs_sample"
-    cov = {"fixed": ("fixed", fixed), "diag": ("diag", niw),
+    cov = {"fixed": ("fixed", fixed), "diag": ("diag", niw_diag),
            "full": ("full", niw)}[family]
     return UnigramAcousticWordseg(
         FBGMM, am_alpha=1.0, am_K=K, am_param_prior=cov[1],

@@ -280,19 +280,22 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
             new_counts = counts_f + oh
             new_sumx = sumx + oh * x
             # Incremental predictive-parameter update: derive the changed
-            # column only, scatter it back, and adjust the log-det term.
+            # column only and write it back with an exact SELECT.  An
+            # add-of-difference scatter (`mu + oh*(new-old)`) rounds once per
+            # write, drifting the carried tables away from the XLA twins'
+            # exact `.at[k].set` rows (bigram-diag measured ~0.5% argmax
+            # flips on length-10 chains, round 3); the select keeps every
+            # lane exactly `derive(<integer statistics>)` on both compilers.
+            sel = oh > 0.0
             cnt_row = jnp.sum(oh * new_counts, axis=2, keepdims=True)
             sx_row = jnp.sum(oh * new_sumx, axis=2, keepdims=True)
             mu_row_new, pp_row_new = derive(cnt_row, sx_row)
-            mu_row_old = jnp.sum(oh * mu, axis=2, keepdims=True)
-            pp_row_old = jnp.sum(oh * pp, axis=2, keepdims=True)
-            new_mu = mu + oh * (mu_row_new - mu_row_old)
-            new_pp = pp + oh * (pp_row_new - pp_row_old)
+            new_mu = jnp.where(sel, mu_row_new, mu)
+            new_pp = jnp.where(sel, pp_row_new, pp)
             safe = lambda r: jnp.where(  # noqa: E731  log(0) guard for pads
                 jnp.logical_and(dmask > 0.0, r > 0.0), r, 1.0)
             t_new = jnp.sum(jnp.log(safe(pp_row_new)), axis=1, keepdims=True)
-            t_old = jnp.sum(jnp.log(safe(pp_row_old)), axis=1, keepdims=True)
-            new_lpp = lpp + oh * (t_new - t_old)
+            new_lpp = jnp.where(sel, t_new, lpp)
 
             ks_ref[:, pl.ds(s, 1), :] = jnp.where(
                 ok > 0.0, k_new, -1
@@ -368,7 +371,9 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
 
     Extra inputs: ``uni_lo`` [B, K] leave-one-utterance-out unigram counts,
     ``big_table`` [K, K] global bigram counts (shared), ``corr_j``/``corr_i``
-    [B, S] the utterance's old (prev, cur) pairs.
+    [B, S] the utterance's old (prev, cur) pairs.  Every valid pair must be
+    counted in ``big_table`` or the logits go NaN, where Mosaic/XLA argmax
+    semantics differ (see :func:`bigram_diag_chain`).
     """
     B, S, D = Xe.shape
     D_pad = _round_up(max(D, 8), 8)
@@ -517,18 +522,19 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
             oh = (lane_k == k_new).astype(dtype) * ok
             new_counts = counts_f + oh
             new_sumx = sumx + oh * x
+            # Exact SELECT write-back (not add-of-difference) so the carried
+            # tables stay bit-identical to the XLA fallback's .at[k].set
+            # rows; see fixedvar_chain for the drift mechanism.
+            sel = oh > 0.0
             cnt_row = jnp.sum(oh * new_counts, axis=2, keepdims=True)
             sx_row = jnp.sum(oh * new_sumx, axis=2, keepdims=True)
             mu_row_new, pp_row_new = derive(cnt_row, sx_row)
-            mu_row_old = jnp.sum(oh * mu, axis=2, keepdims=True)
-            pp_row_old = jnp.sum(oh * pp, axis=2, keepdims=True)
-            new_mu = mu + oh * (mu_row_new - mu_row_old)
-            new_pp = pp + oh * (pp_row_new - pp_row_old)
+            new_mu = jnp.where(sel, mu_row_new, mu)
+            new_pp = jnp.where(sel, pp_row_new, pp)
             safe = lambda r: jnp.where(  # noqa: E731
                 jnp.logical_and(dmask > 0.0, r > 0.0), r, 1.0)
             t_new = jnp.sum(jnp.log(safe(pp_row_new)), axis=1, keepdims=True)
-            t_old = jnp.sum(jnp.log(safe(pp_row_old)), axis=1, keepdims=True)
-            new_lpp = lpp + oh * (t_new - t_old)
+            new_lpp = jnp.where(sel, t_new, lpp)
 
             okb = ok > 0.0
             ks_ref[:, pl.ds(s, 1), :] = jnp.where(
@@ -760,24 +766,24 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
             new_counts = counts_f + oh
             new_sumx = sumx + oh * x
             new_sumsq = sumsq + oh * (x * x)
+            # Exact SELECT write-back (not add-of-difference) so the carried
+            # tables stay bit-identical to the XLA twin's .at[k].set rows;
+            # see fixedvar_chain for the drift mechanism.
+            sel = oh > 0.0
             cnt_row = jnp.sum(oh * new_counts, axis=2, keepdims=True)
             sx_row = jnp.sum(oh * new_sumx, axis=2, keepdims=True)
             ssq_row = jnp.sum(oh * new_sumsq, axis=2, keepdims=True)
             mu_row_new, var_row_new, vn_row_new = derive(
                 cnt_row, sx_row, ssq_row
             )
-            mu_row_old = jnp.sum(oh * mu, axis=2, keepdims=True)
-            var_row_old = jnp.sum(oh * var, axis=2, keepdims=True)
-            new_mu = mu + oh * (mu_row_new - mu_row_old)
-            new_var = var + oh * (var_row_new - var_row_old)
+            new_mu = jnp.where(sel, mu_row_new, mu)
+            new_var = jnp.where(sel, var_row_new, var)
             safe = lambda r: jnp.where(  # noqa: E731
                 jnp.logical_and(dmask > 0.0, r > 0.0), r, 1.0)
             t_new = jnp.sum(jnp.log(safe(var_row_new)), axis=1, keepdims=True)
-            t_old = jnp.sum(jnp.log(safe(var_row_old)), axis=1, keepdims=True)
-            new_lpv = lpv + oh * (t_new - t_old)
+            new_lpv = jnp.where(sel, t_new, lpv)
             gr_row_new = glr(v0 + cnt_row)
-            gr_row_old = jnp.sum(oh * gr, axis=2, keepdims=True)
-            new_gr = gr + oh * (gr_row_new - gr_row_old)
+            new_gr = jnp.where(sel, gr_row_new, gr)
 
             ks_ref[:, pl.ds(s, 1), :] = jnp.where(
                 ok > 0.0, k_new, -1
@@ -902,7 +908,8 @@ def _diag_chain_xla_core(m_0, k0: float, v0: float, S_0, temp, K: int,
             sumx = sumx.at[k].add(okf * x)
             sumsq = sumsq.at[k].add(okf * x * x)
             mu_row, var_row, _ = derive(counts_f[k], sumx[k], sumsq[k])
-            # Masked write (kernel: oh * (new - old)); pads keep old rows.
+            # Exact row set, matching the kernels' exact SELECT write-back
+            # (both paths keep every lane exactly derive(<integer stats>)).
             mu = mu.at[k].set(jnp.where(ok, mu_row, mu[k]))
             var = var.at[k].set(jnp.where(ok, var_row, var[k]))
             lpv = lpv.at[k].set(jnp.where(
@@ -1027,6 +1034,15 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     (``uni_lo`` [B, K] leave-out unigram counts, ``big_table`` [K, K] global
     bigram counts, ``corr_j``/``corr_i`` [B, S] the utterance's own OLD
     bigram pairs, removed from the conditioned row on the fly).
+
+    Input invariant: every valid ``(corr_j, corr_i)`` pair must be counted
+    in ``big_table`` (the driver passes the utterance's own transcript
+    pairs, which the global LM table counts by construction).  Otherwise
+    ``row - corr`` goes negative and ``log`` turns the logit NaN -- and
+    Mosaic's and XLA's argmax disagree on NaN lanes, so the kernel and the
+    XLA twin would sample different chains (measured round 4: an
+    inconsistent random-table harness read 0.896 agreement; consistent
+    tables read 1.000).
     """
     B, S, D = Xe.shape
     D_pad = _round_up(max(D, 8), 8)
@@ -1199,22 +1215,22 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
             new_counts = counts_f + oh
             new_sumx = sumx + oh * x
             new_sumsq = sumsq + oh * (x * x)
+            # Exact SELECT write-back (not add-of-difference) so the carried
+            # tables stay bit-identical to the XLA twin's .at[k].set rows;
+            # see fixedvar_chain for the drift mechanism.
+            sel = oh > 0.0
             cnt_row = jnp.sum(oh * new_counts, axis=2, keepdims=True)
             sx_row = jnp.sum(oh * new_sumx, axis=2, keepdims=True)
             ssq_row = jnp.sum(oh * new_sumsq, axis=2, keepdims=True)
             mu_row_new, var_row_new, _ = derive(cnt_row, sx_row, ssq_row)
-            mu_row_old = jnp.sum(oh * mu, axis=2, keepdims=True)
-            var_row_old = jnp.sum(oh * var, axis=2, keepdims=True)
-            new_mu = mu + oh * (mu_row_new - mu_row_old)
-            new_var = var + oh * (var_row_new - var_row_old)
+            new_mu = jnp.where(sel, mu_row_new, mu)
+            new_var = jnp.where(sel, var_row_new, var)
             safe = lambda r: jnp.where(  # noqa: E731
                 jnp.logical_and(dmask > 0.0, r > 0.0), r, 1.0)
             t_new = jnp.sum(jnp.log(safe(var_row_new)), axis=1, keepdims=True)
-            t_old = jnp.sum(jnp.log(safe(var_row_old)), axis=1, keepdims=True)
-            new_lpv = lpv + oh * (t_new - t_old)
+            new_lpv = jnp.where(sel, t_new, lpv)
             gr_row_new = glr(v0 + cnt_row)
-            gr_row_old = jnp.sum(oh * gr, axis=2, keepdims=True)
-            new_gr = gr + oh * (gr_row_new - gr_row_old)
+            new_gr = jnp.where(sel, gr_row_new, gr)
 
             okb = ok > 0.0
             ks_ref[:, pl.ds(s, 1), :] = jnp.where(
@@ -1316,9 +1332,10 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
     count (SMEM scalar), not the static S bound.
 
     The count-dependent ``gammaln`` ratio uses the in-kernel Stirling
-    composition (see ``_lgamma_stirling``): same ~1e-7 tolerance caveat as
-    the diag kernel (near-tie argmaxes can flip vs the exact-gammaln XLA
-    fallback; the chains are identical in distribution).
+    composition (see ``_lgamma_stirling``), which the XLA fallback
+    (``segmenters.fullcov.fullcov_chain``) shares op-for-op, so both paths
+    sample bit-identical chains on hardware (benchmarks/kernel_parity_tpu.py;
+    exact gammaln stays in the log_marg metrics path).
 
     Parameters
     ----------
@@ -1339,6 +1356,8 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
     ``uni_lo`` [B, K] leave-out unigram counts, ``big_table`` [K, K] global
     bigram counts, ``corr_j``/``corr_i`` [B, S] the utterance's own OLD
     pairs (removed from the conditioned row on the fly); ``alpha`` is unused.
+    Every valid pair must be counted in ``big_table`` or the logits go NaN,
+    where Mosaic/XLA argmax semantics differ (see :func:`bigram_diag_chain`).
     """
     B, S, D = Xe.shape
     DD = D * D
