@@ -427,7 +427,7 @@ def run_kmeans(em, vi, du, lm, truth):
 def run_2d_fbgmm():
     from segmentalist_tpu import FBGMM
 
-    from segmentalist_tpu.models.fbgmm import _SWEEP_CHUNK
+    from segmentalist_tpu.models.fbgmm import _SWEEP_CHUNK, _SWEEP_CHUNK_BIG
 
     rng = np.random.RandomState(1)
     X = np.vstack([rng.randn(25, 2) + c for c in
@@ -436,9 +436,9 @@ def run_2d_fbgmm():
     model = FBGMM(X, fixed_prior_2d(), alpha=1.0, K=4, assignments="rand",
                   covariance_type="fixed")
     t0 = time.time()
-    # Warm both dispatch paths (the fused _SWEEP_CHUNK-sweep scan and the
-    # single-sweep remainder) so the timed run is compile-free.
-    model.gibbs_sample(_SWEEP_CHUNK + 1, mode="blocked")
+    # Warm all three dispatch paths (big chunk, chunk, single-sweep
+    # remainder) so the timed run is compile-free.
+    model.gibbs_sample(_SWEEP_CHUNK_BIG + _SWEEP_CHUNK + 1, mode="blocked")
     log("  warmup (incl. compile): %.1fs" % (time.time() - t0))
     # A chunk multiple, and enough sweeps to amortise the constant
     # end-of-run record fetch (~30 ms RPC on the remote-attached chip --
@@ -569,9 +569,9 @@ def main(configs):
             "vs the reference's own in-repo measured 13 ms/sweep "
             "(clustering_examples.ipynb); N=100, K=4 leaves the TPU nothing "
             "to parallelise, so the per-sweep cost is per-sweep kernel "
-            "overhead inside the fused 16-sweep chunks -- measured "
-            "breakdown: 2 us loop floor + ~73 us sweep kernels "
-            "(benchmarks/toy_breakdown.py)"
+            "overhead inside the fused 256-sweep big chunks "
+            "(per-dispatch RPC amortised; per-sweep kernel breakdown: "
+            "benchmarks/toy_breakdown.py)"
         )
 
     log("[clustering_2d]")

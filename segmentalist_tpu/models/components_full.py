@@ -70,8 +70,8 @@ def _derive_covar(prior: NIW, counts, sum_x, sum_sq):
 _UNROLL_D_MAX = 20
 
 
-def _chol_inv_logdet_unrolled(covar):
-    """Unrolled Cholesky + triangular inverse for small static D.
+def _chol_factor_unrolled(covar):
+    """Unrolled Cholesky factor for small static D, as a [D][D] list grid.
 
     XLA's generic batched Cholesky lowers to a column-by-column while loop
     that dominates the full-covariance sweep for tiny matrices (the sweep
@@ -91,6 +91,23 @@ def _chol_inv_logdet_unrolled(covar):
                 L[i][j] = jnp.sqrt(s)
             else:
                 L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_logdet_unrolled(covar):
+    """Batched log-determinant of an SPD matrix via the unrolled Cholesky.
+
+    Replaces ``jnp.linalg.slogdet``, whose TPU lowering is an LU custom
+    call (~3.2 ms/sweep on the [K=1000, 13, 13] per-sweep metrics scatter
+    matrices at Buckeye scale -- 16% of the full-NIW sweep)."""
+    L = _chol_factor_unrolled(covar)
+    return 2.0 * sum(jnp.log(L[i][i]) for i in range(len(L)))
+
+
+def _chol_inv_logdet_unrolled(covar):
+    """Unrolled Cholesky + triangular inverse for small static D."""
+    D = covar.shape[-1]
+    L = _chol_factor_unrolled(covar)
     # Y = L^{-1} by forward substitution on the identity (lower triangular).
     Y = [[None] * D for _ in range(D)]
     for j in range(D):
@@ -233,8 +250,14 @@ def log_marg_k_vec(prior: NIW, stats: SuffStats) -> jnp.ndarray:
     s_n = s_n_partial - k_n[:, None, None] * _outer(m_n, m_n)
     eye = jnp.eye(D, dtype=s_n.dtype)
     s_n_safe = jnp.where((stats.counts > 0)[:, None, None], s_n, eye)
-    _, logdet_s_n = jnp.linalg.slogdet(s_n_safe)
-    _, logdet_s_0 = jnp.linalg.slogdet(prior.S_0)
+    if D <= _UNROLL_D_MAX:
+        # S_N is SPD (it dominates S_0 > 0): Cholesky logdet, unrolled --
+        # slogdet's LU custom call costs ~3.2 ms/sweep at [K=1000, D=13].
+        logdet_s_n = _chol_logdet_unrolled(s_n_safe)
+        logdet_s_0 = _chol_logdet_unrolled(prior.S_0)
+    else:
+        _, logdet_s_n = jnp.linalg.slogdet(s_n_safe)
+        _, logdet_s_0 = jnp.linalg.slogdet(prior.S_0)
     i = jnp.arange(1, D + 1, dtype=s_n.dtype)
     gam = jnp.sum(
         gammaln((v_n[:, None] + 1.0 - i[None, :]) / 2.0)

@@ -42,9 +42,13 @@ from ..ops.stats import (
 from . import cov_module
 
 # Sweeps fused per device dispatch in ``FBGMM.gibbs_sample`` (a lax.scan over
-# per-sweep temperatures).  A fixed chunk length keeps the jit cache to two
-# entries (chunk + single-sweep remainder) regardless of n_iter.
+# per-sweep temperatures).  Fixed chunk lengths keep the jit cache to three
+# entries (big chunk + chunk + single-sweep remainder) regardless of n_iter.
+# The big chunk exists because per-dispatch overhead on a remote-attached
+# chip (~2 ms RPC) dwarfs the toy model's ~75 us in-chunk sweep cost; long
+# runs amortise it over 256 sweeps per dispatch.
 _SWEEP_CHUNK = 16
+_SWEEP_CHUNK_BIG = 256
 
 
 # ---------------------------------------------------------------------------#
@@ -417,16 +421,22 @@ class FBGMM:
         start = time.time()
         i_iter = 0
         while i_iter < n_iter:
-            if n_iter - i_iter >= _SWEEP_CHUNK:
+            remaining = n_iter - i_iter
+            if remaining >= _SWEEP_CHUNK:
+                # jit specialises the same chunk fn on the ts length, so the
+                # big chunk costs no extra machinery -- just a second cache
+                # entry when a run is long enough to use it.
+                n_chunk = (_SWEEP_CHUNK_BIG
+                           if remaining >= _SWEEP_CHUNK_BIG else _SWEEP_CHUNK)
                 chunk = self._get_chunk_fn(mode, consider_unassigned)
                 ts = np.asarray(
-                    temps[i_iter:i_iter + _SWEEP_CHUNK], dtype=self.X.dtype
+                    temps[i_iter:i_iter + n_chunk], dtype=self.X.dtype
                 )
                 (self.stats, self.assignments, self.key, ms) = chunk(
                     self.stats, self.assignments, self.key, ts
                 )
-                pending.append((time.time(), _SWEEP_CHUNK, ts, ms))
-                i_iter += _SWEEP_CHUNK
+                pending.append((time.time(), n_chunk, ts, ms))
+                i_iter += n_chunk
             else:
                 temp = float(temps[i_iter])
                 self.stats, self.assignments, self.key = sweep(

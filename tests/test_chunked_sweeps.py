@@ -95,6 +95,41 @@ def test_bigram_chunked_sweeps():
                                   np.asarray(recount.bigram_counts))
 
 
+def test_fbgmm_chunk_size_invariance():
+    """The chain is a function of the key-splitting order only: slicing the
+    same sweep sequence into big chunks, 16-chunks, or single sweeps must
+    produce bit-identical assignments, statistics, and metrics (this is what
+    makes the _SWEEP_CHUNK_BIG dispatch-amortisation path safe)."""
+    from segmentalist_tpu.models import fbgmm as fbgmm_mod
+
+    rng = np.random.RandomState(7)
+    X = np.vstack([rng.randn(20, 3) + c
+                   for c in ([0, 0, 0], [5, 5, 0], [-5, 0, 5])]).astype(
+                       np.float32)
+
+    def run(big):
+        old = fbgmm_mod._SWEEP_CHUNK_BIG
+        fbgmm_mod._SWEEP_CHUNK_BIG = big
+        try:
+            np.random.seed(3)
+            m = FBGMM(X, _prior(3), alpha=1.0, K=6, assignments="rand",
+                      covariance_type="fixed")
+            rec = m.gibbs_sample(45, mode="blocked")
+            return m, rec
+        finally:
+            fbgmm_mod._SWEEP_CHUNK_BIG = old
+
+    m_big, rec_big = run(24)        # 24-chunk + 16-chunk + 5 singles
+    m_std, rec_std = run(1 << 30)   # 16-chunks + 13 singles
+    np.testing.assert_array_equal(np.asarray(m_big.assignments),
+                                  np.asarray(m_std.assignments))
+    np.testing.assert_array_equal(np.asarray(m_big.stats.counts),
+                                  np.asarray(m_std.stats.counts))
+    np.testing.assert_array_equal(rec_big["log_marg"], rec_std["log_marg"])
+    np.testing.assert_array_equal(rec_big["components"],
+                                  rec_std["components"])
+
+
 def test_kmeans_chunked_sweeps():
     em, vi, du, lm = _corpus()
     seg = SegmentalKMeansWordseg(
