@@ -124,7 +124,7 @@ GROUPS = (
     ("pallas chain", ("chain_kernel", "fixedvar_chain", "diag_chain",
                       "fullcov_chain", "bigram")),
     ("pallas scoring", ("log_margs", "score_kernel", "pallas_score")),
-    ("pallas dp", ("dp_kernel", "forward_filter", "pallas_dp")),
+    ("pallas dp", ("dp_kernel", "forward_kernel", "pallas_dp")),
     ("fusion", ("fusion",)),
     ("convert/copy", ("convert", "copy", "bitcast", "transpose")),
     ("sort", ("sort",)),
@@ -134,12 +134,157 @@ GROUPS = (
 )
 
 
+def is_control_flow(name):
+    """XLA while/conditional/call events span their BODY: their duration
+    includes every child op, which the op line also records individually.
+    Summing them double-counts the whole program (device total comes out
+    ~3x wall).  Track them separately; exclude from leaf totals."""
+    low = name.lower().lstrip("%")
+    return low.startswith(("while", "conditional", "call", "async"))
+
+
 def group_of(name):
     low = name.lower()
     for g, keys in GROUPS:
         if any(k in low for k in keys):
             return g
     return "other"
+
+
+# ---------------------------------------------------------------------------
+# Roofline accounting (VERDICT r3 item 4): per-stage achieved FLOP/s and HBM
+# GB/s against v5e peaks, from an analytic cost model of the sweep's shapes.
+# ---------------------------------------------------------------------------
+
+# TPU v5e single-chip peaks (public numbers: 394 bf16 TFLOP/s MXU, 819 GB/s
+# HBM).  f32 matmuls at Precision.HIGHEST run 6 bf16 passes -> /6 peak; the
+# VPU is ~4 f32 Tops/s (8x128 lanes x 4 ALUs x ~0.94 GHz).
+V5E = {"mxu_bf16": 394e12, "mxu_f32_hi": 394e12 / 6.0, "vpu": 4e12,
+       "hbm": 819e9}
+
+# Mean live segments per utterance on the synthetic benchmark corpus (the
+# chain kernels run to per-tile dynamic bounds; see PERFORMANCE.md).
+S_AVG = 3.4
+CHAIN_TILE = 16  # utterances per sequential grid program
+
+
+def _stage_model(family):
+    """Analytic per-sweep cost per stage: (MXU flops at default precision,
+    MXU flops at HIGHEST, VPU ops, HBM bytes, latency note).
+
+    Shapes: U utterances in U/B blocks of B; M = N_max*W candidate spans per
+    utterance; K components of dimension D; S_AVG live segments/utterance.
+    Only the dominant terms are counted -- this is a roofline argument, not
+    an instruction count.
+    """
+    U, N, W_dp, Bc, Kc, Dd = N_UTT, 20, 6, B, K, D
+    M = N * W_dp
+    nb = U // Bc
+    d_eff = Dd * Dd if family in ("full", "bigram_full") else Dd
+
+    stages = {}
+    # Fused scoring kernel: [B*M, d_eff] x [d_eff, K] logits matmul (default
+    # precision; marginals are logsumexp'ed) + ~6 VPU ops/element for the
+    # weight/select/max/exp/sum chain over [B, M, K].  HBM: candidate slab
+    # in, predictive params in, [B, M] marginals out (logits stay in VMEM).
+    stages["scoring"] = dict(
+        mxu=2.0 * Bc * M * d_eff * Kc * nb,
+        mxu_hi=0.0,
+        vpu=6.0 * Bc * M * Kc * nb,
+        hbm=(Bc * M * Dd * 4 + 4 * Kc * d_eff * 4 + Bc * M * 4) * nb,
+        bound="vpu" if family not in ("full", "bigram_full") else "mxu",
+    )
+    # DP: forward filter is a true recurrence -- N sequential steps whose
+    # per-step work (a [B, W] logsumexp) is tiny; the cost is the dependent
+    # exp/log VPU chain, i.e. latency.  The parallel backward + transitive
+    # closure rides ceil(log2 N) one-hot [B, N, N] matmuls (HIGHEST).
+    import math
+    stages["dp"] = dict(
+        mxu=0.0,
+        mxu_hi=2.0 * Bc * N * N * N * math.ceil(math.log2(N)) * nb,
+        vpu=8.0 * Bc * N * W_dp * nb,
+        hbm=(Bc * M * 4 * 2) * nb,
+        bound="latency (N=%d dependent steps/block)" % N,
+    )
+    # Assignment chain kernel: sequential grid programs of CHAIN_TILE
+    # utterances; each live segment step scores K components (O(K*d) VPU/MXU
+    # work) behind a strict dependency.  Stats/params stay VMEM-resident.
+    chain_d = Dd * Dd if family in ("full", "bigram_full") else Dd
+    stages["chain"] = dict(
+        mxu=0.0,
+        mxu_hi=2.0 * Bc * S_AVG * Kc * Dd * nb,  # one-hot table pulls
+        vpu=8.0 * Bc * S_AVG * Kc * (chain_d / Dd) * nb,
+        hbm=(Kc * chain_d * 4 * 2) * nb,
+        bound="latency (~%.0f dependent steps/block)"
+              % (Bc / CHAIN_TILE * S_AVG * 2.5),
+    )
+    # Merges + leave-out stats + slab pulls: one-hot MXU matmuls at HIGHEST
+    # ([K+1, B*S] x [B*S, d_stat] contribs; [B, S, M] x [B, M, D] row pulls).
+    d_stat = Dd + d_eff  # sum_x + sum_xx(/outer) columns
+    stages["merge+stats"] = dict(
+        mxu=0.0,
+        mxu_hi=(2.0 * (Kc + 1) * Bc * N * d_stat
+                + 2.0 * Bc * N * M * (Dd + 2)) * 2 * nb,
+        vpu=4.0 * Kc * d_stat * nb,
+        hbm=(Kc * d_stat * 4 * 3) * nb,
+        # Measured as the RESIDUAL leaf time (all fusions/copies/sorts/rng
+        # not claimed by a named kernel), so achieved rates computed from
+        # the merge/stat dominant terms alone UNDERSTATE this row.
+        bound="mxu_f32_hi (residual-measured)",
+    )
+    return stages
+
+
+ROOF_GROUP_OF_STAGE = {"scoring": ("pallas scoring",),
+                       "dp": ("pallas dp",),
+                       "chain": ("pallas chain",)}
+# merge+stats maps to every remaining LEAF group: the one-hot stat matmuls,
+# slab pulls, sorts and rng land in XLA fusions that carry no stage name.
+
+
+def roofline(family, totals, n):
+    """Print per-stage achieved rates vs v5e peaks.
+
+    Measured seconds come from the xplane per-op groups; FLOPs/bytes from
+    the analytic model above.  Stages whose cost is a dependency chain
+    (DP forward, assignment chain) are latency-bound by construction --
+    their % -of-peak is reported but is not the binding resource.
+    """
+    stages = _stage_model(family)
+    by_group = collections.Counter()
+    for name, s in totals.items():
+        if is_control_flow(name):
+            continue
+        by_group[group_of(name)] += s
+    named = {g for gs in ROOF_GROUP_OF_STAGE.values() for g in gs}
+    residual = sum(s for g, s in by_group.items() if g not in named)
+    print("\nroofline vs v5e peaks (bf16 MXU %.0f TF/s, HIGHEST-f32 %.0f "
+          "TF/s, VPU ~%.0f Tops/s, HBM %.0f GB/s):"
+          % (V5E["mxu_bf16"] / 1e12, V5E["mxu_f32_hi"] / 1e12,
+             V5E["vpu"] / 1e12, V5E["hbm"] / 1e9))
+    hdr = ("  %-12s %8s %10s %7s %10s %7s %9s %7s  %s"
+           % ("stage", "ms/swp", "GF/s", "%mxu", "Gops/s", "%vpu",
+              "GB/s", "%hbm", "bound"))
+    print(hdr)
+    for st, c in stages.items():
+        if st in ROOF_GROUP_OF_STAGE:
+            secs = sum(by_group.get(g, 0.0)
+                       for g in ROOF_GROUP_OF_STAGE[st]) / n
+        else:  # merge+stats: all leaf time not claimed by a named kernel
+            secs = residual / n
+        if secs <= 0:
+            print("  %-12s %8s  (no matching device events -- XLA fallback "
+                  "path or fused elsewhere)" % (st, "--"))
+            continue
+        flops = c["mxu"] + c["mxu_hi"]
+        peak_mxu = (V5E["mxu_bf16"] if c["mxu"] >= c["mxu_hi"]
+                    else V5E["mxu_f32_hi"])
+        print("  %-12s %8.3f %10.1f %6.2f%% %10.1f %6.2f%% %9.2f %6.2f%%  %s"
+              % (st, secs * 1e3,
+                 flops / secs / 1e9, 100 * flops / secs / peak_mxu,
+                 c["vpu"] / secs / 1e9, 100 * c["vpu"] / secs / V5E["vpu"],
+                 c["hbm"] / secs / 1e9, 100 * c["hbm"] / secs / V5E["hbm"],
+                 c["bound"]))
 
 
 def main():
@@ -161,18 +306,28 @@ def main():
     if not totals:
         print("no device events parsed; planes seen:", planes)
         return
-    dev_total = sum(totals.values())
-    print("device time: %.4f s/sweep over %d sweeps (%.0f%% of wall)"
-          % (dev_total / n, n, 100 * dev_total / wall))
+    cf_total = sum(s for name, s in totals.items() if is_control_flow(name))
+    dev_total = sum(totals.values()) - cf_total
+    print("device time: %.4f s/sweep over %d sweeps (%.0f%% of wall; "
+          "control-flow wrappers excluded: %.4f s/sweep, spans incl. "
+          "children)" % (dev_total / n, n, 100 * dev_total / wall,
+                         cf_total / n))
     by_group = collections.Counter()
     for name, s in totals.items():
+        if is_control_flow(name):
+            continue
         by_group[group_of(name)] += s
-    print("\nby group (ms/sweep):")
+    print("\nby group (ms/sweep, leaf ops only):")
     for g, s in by_group.most_common():
         print("  %-18s %7.3f" % (g, s / n * 1e3))
-    print("\ntop 25 ops (ms/sweep):")
-    for name, s in totals.most_common(25):
+    print("\ntop 25 leaf ops (ms/sweep):")
+    leaf = collections.Counter({k: v for k, v in totals.items()
+                                if not is_control_flow(k)})
+    for name, s in leaf.most_common(25):
         print("  %7.3f  %s" % (s / n * 1e3, name[:110]))
+    if family in ("fixed", "diag", "full", "bigram", "bigram_diag",
+                  "bigram_full"):
+        roofline(family, totals, n)
 
 
 if __name__ == "__main__":

@@ -273,3 +273,9 @@ class BigramSmoothLM:
     def remove_counts_from_utterance(self, utterance):
         t = jnp.asarray(np.asarray(list(utterance), dtype=np.int32))
         self.state = add_transcript_counts(self.state, t, sign=-1)
+
+
+if __name__ == "__main__":  # smoke demo (reference bigram_lms.py:117-156)
+    from segmentalist_tpu.demos import demo_bigram_lm
+
+    demo_bigram_lm()

@@ -170,3 +170,9 @@ def rand_k(key: jax.Array, prior: NIW, stats: SuffStats, k):
     var = (s_n / 2.0) / gamma_draw
     mean = m_n + jnp.sqrt(var / k_n) * jax.random.normal(key_mean, m_n.shape, dtype=m_n.dtype)
     return mean, var
+
+
+if __name__ == "__main__":  # smoke demo (reference gaussian_components_diag.py:410-494)
+    from segmentalist_tpu.demos import demo_components
+
+    demo_components("diag")

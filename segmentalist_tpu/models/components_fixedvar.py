@@ -162,3 +162,9 @@ def rand_k(key: jax.Array, prior: FixedVarPrior, stats: SuffStats, k) -> jnp.nda
     prec_n = precision_0 + stats.counts[k].astype(stats.sum_x.dtype) * precision
     std = jnp.sqrt(1.0 / prec_n)
     return mu_pred + std * jax.random.normal(key, mu_pred.shape, dtype=mu_pred.dtype)
+
+
+if __name__ == "__main__":  # smoke demo (reference gaussian_components_fixedvar.py:359-388)
+    from segmentalist_tpu.demos import demo_components
+
+    demo_components("fixed")

@@ -330,3 +330,9 @@ def rand_k(key: jax.Array, prior: NIW, stats: SuffStats, k):
     mean_chol = jnp.linalg.cholesky(sigma / k_n)
     mu = m_n + mean_chol @ jax.random.normal(key_mean, (D,), dtype=s_n.dtype)
     return mu, sigma
+
+
+if __name__ == "__main__":  # smoke demo (reference gaussian_components.py:370-465)
+    from segmentalist_tpu.demos import demo_components
+
+    demo_components("full")

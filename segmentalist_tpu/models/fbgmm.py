@@ -746,3 +746,9 @@ def _make_consecutive(assignments: np.ndarray) -> np.ndarray:
     mapping = {int(old): new for new, old in enumerate(sorted(used))}
     out = np.array([mapping.get(int(a), -1) for a in assignments], dtype=np.int64)
     return out
+
+
+if __name__ == "__main__":  # smoke demo (reference fbgmm.py:505-546)
+    from segmentalist_tpu.demos import demo_fbgmm
+
+    demo_fbgmm()

@@ -318,3 +318,9 @@ class _KMeansComponentsView:
     def clean_components(self):
         # Masked design: empty components are already "clean" (no relabelling).
         pass
+
+
+if __name__ == "__main__":  # smoke demo (reference kmeans.py:176-217, kmeans_components.py:274-324)
+    from segmentalist_tpu.demos import demo_kmeans
+
+    demo_kmeans()

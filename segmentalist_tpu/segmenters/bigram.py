@@ -1236,3 +1236,9 @@ class BigramAcousticWordseg:
         cand_X_all, cand_lp_all = self._cand_tables()
         return lambda *args: sweep(*args, cand_X_all=cand_X_all,
                                    cand_lp_all=cand_lp_all)
+
+
+if __name__ == "__main__":  # smoke demo (reference bigram_acoustic_wordseg.py:765-857)
+    from segmentalist_tpu.demos import demo_bigram_seg
+
+    demo_bigram_seg()

@@ -619,3 +619,9 @@ class SegmentalKMeansWordseg:
         # Candidate tensor as an ARGUMENT, not a closed-over constant.
         cand_X_all = self._cand_table()
         return lambda *args: sweep(*args, cand_X_all=cand_X_all)
+
+
+if __name__ == "__main__":  # smoke demo (reference kmeans_acoustic_wordseg.py:558-658)
+    from segmentalist_tpu.demos import demo_kmeans_seg
+
+    demo_kmeans_seg()

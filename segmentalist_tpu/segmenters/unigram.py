@@ -1084,3 +1084,9 @@ class UnigramAcousticWordseg:
         cand_X_all, cand_lp_all = self._cand_tables()
         return lambda *args: sweep(*args, cand_X_all=cand_X_all,
                                    cand_lp_all=cand_lp_all)
+
+
+if __name__ == "__main__":  # smoke demo (reference unigram_acoustic_wordseg.py:871-963)
+    from segmentalist_tpu.demos import demo_unigram_seg
+
+    demo_unigram_seg()
