@@ -124,7 +124,7 @@ GROUPS = (
     ("pallas chain", ("chain_kernel", "fixedvar_chain", "diag_chain",
                       "fullcov_chain", "bigram")),
     ("pallas scoring", ("log_margs", "score_kernel", "pallas_score")),
-    ("pallas dp", ("dp_kernel", "forward_kernel", "pallas_dp")),
+    ("pallas dp", ("dp_kernel", "forward_alphas", "pallas_dp")),
     ("fusion", ("fusion",)),
     ("convert/copy", ("convert", "copy", "bitcast", "transpose")),
     ("sort", ("sort",)),
@@ -187,12 +187,16 @@ def _stage_model(family):
     # precision; marginals are logsumexp'ed) + ~6 VPU ops/element for the
     # weight/select/max/exp/sum chain over [B, M, K].  HBM: candidate slab
     # in, predictive params in, [B, M] marginals out (logits stay in VMEM).
+    full_fam = family in ("full", "bigram_full")
+    # The fullcov kernel's Mahalanobis dots run at Precision.HIGHEST
+    # (PERFORMANCE.md precision trap); fixed/diag kernels use the default.
+    score_flops = 2.0 * Bc * M * d_eff * Kc * nb
     stages["scoring"] = dict(
-        mxu=2.0 * Bc * M * d_eff * Kc * nb,
-        mxu_hi=0.0,
+        mxu=0.0 if full_fam else score_flops,
+        mxu_hi=score_flops if full_fam else 0.0,
         vpu=6.0 * Bc * M * Kc * nb,
         hbm=(Bc * M * Dd * 4 + 4 * Kc * d_eff * 4 + Bc * M * 4) * nb,
-        bound="vpu" if family not in ("full", "bigram_full") else "mxu",
+        bound="mxu_f32_hi + log1p VPU chain" if full_fam else "vpu",
     )
     # DP: forward filter is a true recurrence -- N sequential steps whose
     # per-step work (a [B, W] logsumexp) is tiny; the cost is the dependent
@@ -320,6 +324,10 @@ def main():
     print("\nby group (ms/sweep, leaf ops only):")
     for g, s in by_group.most_common():
         print("  %-18s %7.3f" % (g, s / n * 1e3))
+    print("\ncustom-call (Pallas) ops (ms/sweep):")
+    for name, s in totals.most_common():
+        if "custom-call" in name:
+            print("  %7.3f  %s" % (s / n * 1e3, name[:110]))
     print("\ntop 25 leaf ops (ms/sweep):")
     leaf = collections.Counter({k: v for k, v in totals.items()
                                 if not is_control_flow(k)})
