@@ -68,6 +68,27 @@ def predictive_params(prior: NIW, stats: SuffStats) -> PredParams:
     )
 
 
+def predictive_params_T(prior: NIW, counts, sum_xT, sum_sqT):
+    """Transposed-layout predictive parameters: ``counts [..., K]``,
+    ``sum_xT``/``sum_sqT [..., D, K]`` -> ``(muT, inv_varT [..., D, K],
+    v [..., K])``.  Same math as :func:`_derive` with the (component,
+    feature) axes swapped, so feature-major consumers (the fused scoring
+    kernel's VMEM tables) need no [K, D] -> [D, K] relayout copies."""
+    n = counts.astype(sum_xT.dtype)
+    k_n = prior.k_0 + n
+    v_n = prior.v_0 + n
+    kn_d = k_n[..., None, :]
+    m_nT = ((prior.k_0 * prior.m_0)[:, None] + sum_xT) / kn_d
+    s_n_partial = (prior.S_0 + prior.k_0 * jnp.square(prior.m_0))[:, None] \
+        + sum_sqT
+    varT = (
+        (kn_d + 1.0)
+        / (kn_d * v_n[..., None, :])
+        * (s_n_partial - kn_d * jnp.square(m_nT))
+    )
+    return m_nT, 1.0 / varT, v_n
+
+
 def update_predictive_row(prior: NIW, stats: SuffStats, params: PredParams, k):
     m_n, var, v_n = _derive(prior, stats.counts[k], stats.sum_x[k], stats.sum_sq[k])
     return PredParams(

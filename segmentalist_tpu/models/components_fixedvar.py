@@ -65,6 +65,27 @@ def predictive_params(prior: FixedVarPrior, stats: SuffStats) -> PredParams:
     )
 
 
+def predictive_params_T(prior: FixedVarPrior, counts, sum_xT):
+    """Transposed-layout predictive parameters: ``counts [..., K]``,
+    ``sum_xT [..., D, K]`` -> ``(mu_predT, prec_predT) [..., D, K]``.
+
+    Same math as :func:`_derive` with the (component, feature) axes swapped,
+    for consumers that want feature-major tables (the fused scoring kernel's
+    VMEM layout puts features on sublanes and components on lanes) -- deriving
+    in the target layout lets XLA skip the [K, D] -> [D, K] relayout copies
+    that a post-hoc ``swapaxes`` forces (~0.5 ms/sweep at flagship scale).
+    """
+    precision = 1.0 / prior.var
+    precision_0 = 1.0 / prior.var_0
+    mu_n_num = (precision_0 * prior.mu_0)[:, None] \
+        + precision[:, None] * sum_xT
+    prec_n = precision_0[:, None] \
+        + counts[..., None, :].astype(sum_xT.dtype) * precision[:, None]
+    mu_predT = mu_n_num / prec_n
+    prec_predT = prec_n * precision[:, None] / (prec_n + precision[:, None])
+    return mu_predT, prec_predT
+
+
 def update_predictive_row(prior: FixedVarPrior, stats: SuffStats, params: PredParams, k):
     """Recompute predictive parameters for a single slot ``k`` (cheap O(D))."""
     mu_pred, prec_pred = _derive(prior, stats.counts[k], stats.sum_x[k])

@@ -146,12 +146,14 @@ def _length_sort(embeds, *arrays):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alpha", "K", "lms", "use_argmax", "interpret"),
+    static_argnames=("alpha", "K", "lms", "use_argmax", "interpret",
+                     "stats_T"),
 )
 def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
                    var, var_0, mu_0, temp,
                    alpha: float, K: int, lms: float = 1.0,
-                   use_argmax: bool = False, interpret: bool = False):
+                   use_argmax: bool = False, interpret: bool = False,
+                   stats_T: bool = False):
     """Sequential within-utterance assignment chains, batched over utterances.
 
     Parameters
@@ -163,12 +165,18 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     counts, sum_x : leave-one-utterance-out statistics [B, K] / [B, K, D].
     var, var_0, mu_0 : fixed-variance prior vectors [D].
     temp : scalar annealing temperature.
+    stats_T : ``sum_x`` arrives FEATURE-MAJOR ([B, D, K], e.g. from
+        ``segmenters.common.leave_out_moments_T``) -- the kernel's own VMEM
+        layout, so the host-side swapaxes (an XLA relayout copy chain worth
+        ~1 ms/sweep at flagship scale) is skipped.  Values must equal the
+        component-major input's transpose; the kernel math is unchanged.
 
     Returns
     -------
     ks : [B, S] int32 sampled component of each segment (-1 pads).
     """
-    B, S, D = Xe.shape
+    B, S = embeds.shape
+    D = Xe.shape[-1]
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
     # Measured-accurate VMEM accounting (inputs gumb [S, K_pad] + sumx /
@@ -202,8 +210,9 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     counts_f = bpad(
         jnp.pad(counts.astype(dtype), ((0, 0), (0, K_pad - K)))[:, None, :]
     )  # [B_pad, 1, K_pad]
+    sum_xT = sum_x if stats_T else jnp.swapaxes(sum_x, 1, 2)
     sumx = bpad(jnp.pad(
-        jnp.swapaxes(sum_x, 1, 2).astype(dtype),
+        sum_xT.astype(dtype),
         ((0, 0), (0, D_pad - D), (0, K_pad - K)),
     ))  # [B_pad, D_pad, K_pad]
 
@@ -346,14 +355,14 @@ def fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
 @functools.partial(
     jax.jit,
     static_argnames=("alpha_a", "intrp_lambda", "b_smooth", "K", "lms",
-                     "interpret"),
+                     "interpret", "stats_T"),
 )
 def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
                           var, var_0, mu_0, temp,
                           uni_lo, big_table, corr_j, corr_i,
                           alpha_a: float, intrp_lambda: float,
                           b_smooth: float, K: int, lms: float = 1.0,
-                          interpret: bool = False):
+                          interpret: bool = False, stats_T: bool = False):
     """Bigram-conditioned assignment chains (reference
     ``gibbs_sample_inside_loop_i_embed``, bigram_acoustic_wordseg.py:332-384)
     as a Pallas kernel.
@@ -373,9 +382,11 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
     ``big_table`` [K, K] global bigram counts (shared), ``corr_j``/``corr_i``
     [B, S] the utterance's old (prev, cur) pairs.  Every valid pair must be
     counted in ``big_table`` or the logits go NaN, where Mosaic/XLA argmax
-    semantics differ (see :func:`bigram_diag_chain`).
+    semantics differ (see :func:`bigram_diag_chain`).  ``stats_T``: as in
+    :func:`fixedvar_chain` (``sum_x`` arrives [B, D, K]).
     """
-    B, S, D = Xe.shape
+    B, S = embeds.shape
+    D = Xe.shape[-1]
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
     B_tile = _pick_b_tile(
@@ -405,7 +416,7 @@ def bigram_fixedvar_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
         jnp.pad(counts.astype(dtype), ((0, 0), (0, K_pad - K)))[:, None, :]
     )
     sumx = bpad(jnp.pad(
-        jnp.swapaxes(sum_x, 1, 2).astype(dtype),
+        (sum_x if stats_T else jnp.swapaxes(sum_x, 1, 2)).astype(dtype),
         ((0, 0), (0, D_pad - D), (0, K_pad - K)),
     ))
     uni = bpad(jnp.pad(uni_lo.astype(dtype),
@@ -615,12 +626,13 @@ def _lgamma_stirling(z):
 @functools.partial(
     jax.jit,
     static_argnames=("k_0", "v_0", "alpha", "K", "lms", "use_argmax",
-                     "interpret"),
+                     "interpret", "stats_T"),
 )
 def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
                m_0, k_0, v_0, S_0, temp,
                alpha: float, K: int, lms: float = 1.0,
-               use_argmax: bool = False, interpret: bool = False):
+               use_argmax: bool = False, interpret: bool = False,
+               stats_T: bool = False):
     """Within-utterance assignment chains for the diagonal-covariance
     (normal-inverse-chi-squared) backend (reference
     ``gaussian_components_diag.py:237-259`` scoring inside the
@@ -631,9 +643,11 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     univariate Student's t densities (per-step ``log1p`` over [D, K] is
     inherent -- the location/scale depend on the query vector), and the
     count-dependent ``gammaln`` ratio is maintained incrementally with an
-    in-kernel Stirling ``lgamma``.
+    in-kernel Stirling ``lgamma``.  ``stats_T``: as in
+    :func:`fixedvar_chain` (``sum_x``/``sum_sq`` arrive [B, D, K]).
     """
-    B, S, D = Xe.shape
+    B, S = embeds.shape
+    D = Xe.shape[-1]
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
     B_tile = _pick_b_tile(
@@ -666,7 +680,7 @@ def diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
 
     def statpad(a):
         return bpad(jnp.pad(
-            jnp.swapaxes(a, 1, 2).astype(dtype),
+            (a if stats_T else jnp.swapaxes(a, 1, 2)).astype(dtype),
             ((0, 0), (0, D_pad - D), (0, K_pad - K)),
         ))
 
@@ -1015,13 +1029,14 @@ def bigram_diag_chain_xla(embeds, Xe, log_prior_e, gumbel, counts, sum_x,
 @functools.partial(
     jax.jit,
     static_argnames=("k_0", "v_0", "alpha_a", "intrp_lambda", "b_smooth",
-                     "K", "lms", "interpret"),
+                     "K", "lms", "interpret", "stats_T"),
 )
 def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
                       m_0, k_0, v_0, S_0, temp,
                       uni_lo, big_table, corr_j, corr_i,
                       alpha_a: float, intrp_lambda: float, b_smooth: float,
-                      K: int, lms: float = 1.0, interpret: bool = False):
+                      K: int, lms: float = 1.0, interpret: bool = False,
+                      stats_T: bool = False):
     """Bigram-conditioned assignment chains for the diagonal-covariance
     backend: :func:`diag_chain`'s normal-inverse-chi-squared scoring/update
     machinery with :func:`bigram_fixedvar_chain`'s smoothed-bigram-LM
@@ -1042,9 +1057,11 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     Mosaic's and XLA's argmax disagree on NaN lanes, so the kernel and the
     XLA twin would sample different chains (measured round 4: an
     inconsistent random-table harness read 0.896 agreement; consistent
-    tables read 1.000).
+    tables read 1.000).  ``stats_T``: as in :func:`fixedvar_chain`
+    (``sum_x``/``sum_sq`` arrive [B, D, K]).
     """
-    B, S, D = Xe.shape
+    B, S = embeds.shape
+    D = Xe.shape[-1]
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
     B_tile = _pick_b_tile(
@@ -1082,7 +1099,7 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
 
     def statpad(a):
         return bpad(jnp.pad(
-            jnp.swapaxes(a, 1, 2).astype(dtype),
+            (a if stats_T else jnp.swapaxes(a, 1, 2)).astype(dtype),
             ((0, 0), (0, D_pad - D), (0, K_pad - K)),
         ))
 

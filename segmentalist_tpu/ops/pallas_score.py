@@ -58,23 +58,11 @@ def _score_tiling(M: int, B: int, n_k_temps: int, D_pad: int, K_pad: int):
     return M_t, M_pad, max(bt, 1), _round_up(B, max(bt, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("K", "interpret"))
-def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
-                       counts, K: int, interpret: bool = False):
-    """[B, M] collapsed candidate log marginals.
-
-    Parameters
-    ----------
-    Xc : [B, M, D] candidate embedding vectors (garbage rows fine -- the
-        caller masks invalid candidates afterwards).
-    prior_c : [B, M] prior log-density of each candidate (empty-component
-        branch).
-    mu_pred, prec_pred : [B, K, D] per-utterance (leave-one-out) predictive
-        parameters.
-    log_prod : [B, K] sum_d log prec_pred.
-    wvec : [B, K] mixture-weight term incl. denominator (log_weights).
-    counts : [B, K] leave-one-out member counts.
-    """
+def _fixedvar_dispatch(Xc, prior_c, precT_u, mpT_u, const_u, log_prod,
+                       wvec, counts, K: int, interpret: bool):
+    """Shared pallas_call for the fixed-variance scorer; parameter tables
+    arrive already feature-major (``precT_u``/``mpT_u`` [B, D, K],
+    ``const_u`` [B, K])."""
     B, M, D = Xc.shape
     dtype = Xc.dtype
     D_pad = _round_up(max(D, 8), 8)
@@ -89,13 +77,11 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
                       ((0, 0), (0, M_pad - M), (0, D_pad - D))))
     pc_in = bpad(jnp.pad(prior_c.astype(dtype),
                          ((0, 0), (0, M_pad - M)))[:, :, None])
-    # Transposed parameter tables: features on sublanes, components on lanes.
-    mp = mu_pred * prec_pred
-    precT = bpad(jnp.pad(jnp.swapaxes(prec_pred, 1, 2).astype(dtype),
+    precT = bpad(jnp.pad(precT_u.astype(dtype),
                          ((0, 0), (0, D_pad - D), (0, K_pad - K))))
-    mpT = bpad(jnp.pad(jnp.swapaxes(mp, 1, 2).astype(dtype),
+    mpT = bpad(jnp.pad(mpT_u.astype(dtype),
                        ((0, 0), (0, D_pad - D), (0, K_pad - K))))
-    const = bpad(jnp.pad(jnp.sum(mu_pred * mp, -1).astype(dtype),
+    const = bpad(jnp.pad(const_u.astype(dtype),
                          ((0, 0), (0, K_pad - K)))[:, None, :])
     w_in = bpad(jnp.pad(wvec.astype(dtype),
                         ((0, 0), (0, K_pad - K)))[:, None, :])
@@ -163,24 +149,50 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
-def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
-                   counts, K: int, interpret: bool = False):
-    """[B, M] collapsed candidate log marginals, diagonal-covariance backend.
+def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
+                       counts, K: int, interpret: bool = False):
+    """[B, M] collapsed candidate log marginals.
 
-    The product-of-univariate-Student-t predictive
-    (``components_diag._log_prod_students_t``; reference
-    ``gaussian_components_diag.py:237-259, :347-360``) couples dimensions
-    through a per-dimension ``log1p``, so the XLA path's [B, M, K, D]
-    contraction is transcendental- and traffic-heavy.  Here the [M, K]
-    accumulator stays VMEM-resident and the D-loop runs as static lane/
-    sublane slices; the count-dependent gammaln constants are folded into a
-    [B, K] vector OUTSIDE the kernel (exact gammaln -- unlike the diag
-    *chain* kernel, no Stirling approximation is involved).
-
-    Parameters: as :func:`fixedvar_log_margs`, with the diag predictive
-    parameters (``mu`` / ``inv_var`` [B, K, D], ``log_prod_var`` / ``v``
-    [B, K]).
+    Parameters
+    ----------
+    Xc : [B, M, D] candidate embedding vectors (garbage rows fine -- the
+        caller masks invalid candidates afterwards).
+    prior_c : [B, M] prior log-density of each candidate (empty-component
+        branch).
+    mu_pred, prec_pred : [B, K, D] per-utterance (leave-one-out) predictive
+        parameters.
+    log_prod : [B, K] sum_d log prec_pred.
+    wvec : [B, K] mixture-weight term incl. denominator (log_weights).
+    counts : [B, K] leave-one-out member counts.
     """
+    mp = mu_pred * prec_pred
+    return _fixedvar_dispatch(
+        Xc, prior_c, jnp.swapaxes(prec_pred, 1, 2), jnp.swapaxes(mp, 1, 2),
+        jnp.sum(mu_pred * mp, -1), log_prod, wvec, counts, K, interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def fixedvar_log_margs_T(Xc, prior_c, mu_predT, prec_predT, wvec, counts,
+                         K: int, interpret: bool = False):
+    """:func:`fixedvar_log_margs` with feature-major parameter tables
+    (``mu_predT``/``prec_predT`` [B, D, K], e.g. from
+    ``components_fixedvar.predictive_params_T``): the derived tables the
+    kernel wants (prec^T, (mu prec)^T, sum_d mu^2 prec, sum_d log prec) are
+    computed in the kernel's own layout, so XLA emits no [K, D] -> [D, K]
+    relayout copies (~0.5 ms/sweep at flagship scale)."""
+    mpT = mu_predT * prec_predT
+    return _fixedvar_dispatch(
+        Xc, prior_c, prec_predT, mpT, jnp.sum(mu_predT * mpT, axis=-2),
+        jnp.sum(jnp.log(prec_predT), axis=-2), wvec, counts, K, interpret,
+    )
+
+
+def _diag_dispatch(Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec,
+                   counts, K: int, interpret: bool):
+    """Shared pallas_call for the diag scorer; parameter tables arrive
+    already feature-major (``muT_u``/``ivvT_u`` [B, D, K], with ``ivvT_u``
+    = inv_var / v)."""
     from jax.scipy.special import gammaln
 
     B, M, D = Xc.shape
@@ -201,12 +213,10 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
                       ((0, 0), (0, M_pad - M), (0, D_pad - D))))
     pc_in = bpad(jnp.pad(prior_c.astype(dtype),
                          ((0, 0), (0, M_pad - M)))[:, :, None])
-    muT = bpad(jnp.pad(jnp.swapaxes(mu, 1, 2).astype(dtype),
+    muT = bpad(jnp.pad(muT_u.astype(dtype),
                        ((0, 0), (0, D_pad - D), (0, K_pad - K))))
-    ivvT = bpad(jnp.pad(
-        jnp.swapaxes(inv_var / v[..., None], 1, 2).astype(dtype),
-        ((0, 0), (0, D_pad - D), (0, K_pad - K)),
-    ))
+    ivvT = bpad(jnp.pad(ivvT_u.astype(dtype),
+                        ((0, 0), (0, D_pad - D), (0, K_pad - K))))
     # Count-dependent constants, exact gammaln (outside the kernel).
     const = vecpad(
         D * (gammaln((v + 1.0) / 2.0) - gammaln(v / 2.0)
@@ -278,6 +288,46 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
         interpret=interpret,
     )(xq, pc_in, muT, ivvT, const, vh, w_in, cnt_in)
     return out[:B, :M, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
+                   counts, K: int, interpret: bool = False):
+    """[B, M] collapsed candidate log marginals, diagonal-covariance backend.
+
+    The product-of-univariate-Student-t predictive
+    (``components_diag._log_prod_students_t``; reference
+    ``gaussian_components_diag.py:237-259, :347-360``) couples dimensions
+    through a per-dimension ``log1p``, so the XLA path's [B, M, K, D]
+    contraction is transcendental- and traffic-heavy.  Here the [M, K]
+    accumulator stays VMEM-resident and the D-loop runs as static lane/
+    sublane slices; the count-dependent gammaln constants are folded into a
+    [B, K] vector OUTSIDE the kernel (exact gammaln -- unlike the diag
+    *chain* kernel, no Stirling approximation is involved).
+
+    Parameters: as :func:`fixedvar_log_margs`, with the diag predictive
+    parameters (``mu`` / ``inv_var`` [B, K, D], ``log_prod_var`` / ``v``
+    [B, K]).
+    """
+    return _diag_dispatch(
+        Xc, prior_c, jnp.swapaxes(mu, 1, 2),
+        jnp.swapaxes(inv_var / v[..., None], 1, 2),
+        log_prod_var, v, wvec, counts, K, interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def diag_log_margs_T(Xc, prior_c, muT, inv_varT, v, wvec, counts,
+                     K: int, interpret: bool = False):
+    """:func:`diag_log_margs` with feature-major parameter tables
+    (``muT``/``inv_varT`` [B, D, K], e.g. from
+    ``components_diag.predictive_params_T``); the log-product constant and
+    the v-scaled inverse variance are derived in the kernel's own layout so
+    XLA emits no [K, D] -> [D, K] relayout copies."""
+    return _diag_dispatch(
+        Xc, prior_c, muT, inv_varT / v[:, None, :],
+        -jnp.sum(jnp.log(inv_varT), axis=-2), v, wvec, counts, K, interpret,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))

@@ -40,6 +40,7 @@ from .common import (
     cand_tables,
     flat_contrib,
     gather_block_segments,
+    leave_out_moments_T,
     leave_out_stats,
     masked_candidate_scores,
     merge_assignments,
@@ -965,6 +966,19 @@ class BigramAcousticWordseg:
                 params_g = cov.predictive_params(prior, stats)
                 touched = touched_leave_out(prior, stats, X, old_embeds,
                                             old_ks, rows=Xe_old)
+            elif pallas_chain_ok:
+                # Fused-kernel path: leave-out moments built FEATURE-MAJOR
+                # ([B, D, K] -- the VMEM layout of both the scoring and
+                # chain kernels), so no [B, K, D] tensor or relayout copy
+                # chain exists anywhere (see segmenters/unigram.py).
+                lo = params_b = None
+                cnt_c = counts_contrib(old_ks, old_embeds >= 0, K_max)
+                lo_counts = stats.counts[None] - cnt_c
+                uni_lo = lm_state.unigram_counts[None] - cnt_c
+                sum_xT, sum_sqT = leave_out_moments_T(
+                    stats, X, old_embeds, old_ks, K_max,
+                    with_sq=cov_type == "diag", rows=Xe_old,
+                )
             else:
                 old_contrib = utterance_contrib(X, old_embeds, old_ks, K_max,
                                                 full_cov, rows=Xe_old)
@@ -1006,23 +1020,28 @@ class BigramAcousticWordseg:
                 elif post is None and pallas and cov_type == "fixed":
                     # Fused scoring: the [B, M, K] logits tile never leaves
                     # VMEM (see ops/pallas_score.py); the LM unigram weights
-                    # ride in as the mixture-weight vector.
-                    from ..ops.pallas_score import fixedvar_log_margs
+                    # ride in as the mixture-weight vector.  Parameter
+                    # tables derived feature-major (no relayout copies).
+                    from ..ops.pallas_score import fixedvar_log_margs_T
 
-                    log_margs = fixedvar_log_margs(
-                        Xc, prior_c, params_b.mu_pred, params_b.prec_pred,
-                        params_b.log_prod_prec, w_b, lo_counts, K=K_max,
+                    muT, precT = cov.predictive_params_T(
+                        prior, lo_counts, sum_xT
+                    )
+                    log_margs = fixedvar_log_margs_T(
+                        Xc, prior_c, muT, precT, w_b, lo_counts, K=K_max,
                         interpret=jax.default_backend() != "tpu",
                     ).reshape(B, N_max, W_dp)
                 elif post is None and pallas and cov_type == "diag":
                     # Diag fused scoring, LM unigram weights as the
                     # mixture-weight vector (parity with the unigram driver,
                     # segmenters/unigram.py).
-                    from ..ops.pallas_score import diag_log_margs
+                    from ..ops.pallas_score import diag_log_margs_T
 
-                    log_margs = diag_log_margs(
-                        Xc, prior_c, params_b.mu, params_b.inv_var,
-                        params_b.log_prod_var, params_b.v, w_b, lo_counts,
+                    muT, inv_varT, v_b = cov.predictive_params_T(
+                        prior, lo_counts, sum_xT, sum_sqT
+                    )
+                    log_margs = diag_log_margs_T(
+                        Xc, prior_c, muT, inv_varT, v_b, w_b, lo_counts,
                         K=K_max, interpret=jax.default_backend() != "tpu",
                     ).reshape(B, N_max, W_dp)
                 else:
@@ -1118,25 +1137,27 @@ class BigramAcousticWordseg:
 
                 new_ks = bigram_fixedvar_chain(
                     new_embeds, Xe_new, lpe_new, gumbel,
-                    lo.counts, lo.sum_x,
+                    lo_counts, sum_xT,
                     prior.var, prior.var_0, prior.mu_0, assign_temp,
                     uni_lo, big_table, pj, pi,
                     alpha_a=a, intrp_lambda=lam, b_smooth=b,
                     K=K_max, lms=lms,
                     interpret=jax.default_backend() != "tpu",
+                    stats_T=True,
                 )
             elif pallas_chain_ok and cov_type == "diag":
                 from ..ops.pallas_chain import bigram_diag_chain
 
                 new_ks = bigram_diag_chain(
                     new_embeds, Xe_new, lpe_new, gumbel,
-                    lo.counts, lo.sum_x, lo.sum_sq,
+                    lo_counts, sum_xT, sum_sqT,
                     prior.m_0, float(prior.k_0), float(prior.v_0),
                     prior.S_0, assign_temp,
                     uni_lo, big_table, pj, pi,
                     alpha_a=a, intrp_lambda=lam, b_smooth=b,
                     K=K_max, lms=lms,
                     interpret=jax.default_backend() != "tpu",
+                    stats_T=True,
                 )
             elif cov_type == "diag":
                 # Non-pallas diag (GSPMD mesh): the XLA twin with the

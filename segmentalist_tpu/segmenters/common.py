@@ -194,6 +194,44 @@ def leave_out_stats(global_stats: SuffStats, contrib: SuffStats) -> SuffStats:
     )
 
 
+def leave_out_moments_T(stats: SuffStats, X: Array, embeds: Array, ks: Array,
+                        K_max: int, with_sq: bool, rows: Array | None = None):
+    """Leave-one-utterance-out moment sums in FEATURE-MAJOR layout:
+    ``sum_xT`` (and optionally per-dim ``sum_sqT``) as [B, D, K].
+
+    Same math as ``leave_out_stats(stats, utterance_contrib(...))`` restricted
+    to the moment tensors, but contracted directly into the [D, K] orientation
+    the fused scoring kernels' VMEM tables use (features on sublanes,
+    components on lanes) -- deriving predictive parameters from THESE via
+    ``predictive_params_T`` lets XLA skip the [B, K, D] -> [B, D, K] relayout
+    copies a post-hoc ``swapaxes`` forces (~0.5 ms/sweep at flagship scale;
+    the [B, K, ...] form is still built separately for the assignment-chain
+    kernels, whose tables are component-major).
+
+    HIGHEST precision: exact f32 sums, matching the scatter-free stat rule
+    (CLAUDE.md) -- only the ADDITION ORDER differs from ``segment_sum``, so
+    values may differ in the last ulp when an utterance has multiple segments
+    in one component.
+    """
+    valid = (embeds >= 0) & (ks >= 0)
+    x = X[jnp.maximum(embeds, 0)] if rows is None else rows
+    x = jnp.where(valid[:, :, None], x, 0.0)
+    oh = jnp.where(
+        valid[:, :, None],
+        jax.nn.one_hot(jnp.maximum(ks, 0), K_max, dtype=x.dtype),
+        0.0,
+    )  # [B, S, K]
+    contrib_xT = jnp.einsum("bsd,bsk->bdk", x, oh,
+                            precision=jax.lax.Precision.HIGHEST)
+    sum_xT = stats.sum_x.T[None] - contrib_xT
+    if not with_sq:
+        return sum_xT, None
+    contrib_sqT = jnp.einsum("bsd,bsk->bdk", x * x, oh,
+                             precision=jax.lax.Precision.HIGHEST)
+    sum_sqT = stats.sum_sq.T[None] - contrib_sqT
+    return sum_xT, sum_sqT
+
+
 def flat_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
                  full_cov: bool, valid: Array,
                  rows: Array | None = None) -> SuffStats:

@@ -37,6 +37,7 @@ from .common import (
     cand_tables,
     flat_contrib,
     gather_block_segments,
+    leave_out_moments_T,
     leave_out_stats,
     masked_candidate_scores,
     merge_assignments,
@@ -692,28 +693,39 @@ class UnigramAcousticWordseg:
             )
             return ks
 
-        def run_chains(lo, params_b, new_embeds, Xe, lpe, gumbel, temp):
+        def run_chains(lo, params_b, lo_counts, sum_xT, sum_sqT,
+                       new_embeds, Xe, lpe, gumbel, temp):
+            # When the fused-scoring path built the leave-out moments
+            # feature-major, feed the chain kernels the SAME [B, D, K]
+            # tables (their native VMEM layout, stats_T=True) -- no
+            # [B, K, D] tensor is ever materialised.
+            stats_T = sum_xT is not None
             if pallas_chain_ok and cov_type == "fixed":
                 from ..ops.pallas_chain import fixedvar_chain
 
                 return fixedvar_chain(
                     new_embeds, Xe, lpe, gumbel,
-                    lo.counts, lo.sum_x,
+                    lo_counts if stats_T else lo.counts,
+                    sum_xT if stats_T else lo.sum_x,
                     prior.var, prior.var_0, prior.mu_0, temp,
                     alpha=alpha, K=K_max, lms=lms_eff,
                     use_argmax=viterbi_assign,
                     interpret=jax.default_backend() != "tpu",
+                    stats_T=stats_T,
                 )
             if pallas_chain_ok and cov_type == "diag":
                 from ..ops.pallas_chain import diag_chain
 
                 return diag_chain(
                     new_embeds, Xe, lpe, gumbel,
-                    lo.counts, lo.sum_x, lo.sum_sq,
+                    lo_counts if stats_T else lo.counts,
+                    sum_xT if stats_T else lo.sum_x,
+                    sum_sqT if stats_T else lo.sum_sq,
                     prior.m_0, float(prior.k_0), float(prior.v_0), prior.S_0,
                     temp, alpha=alpha, K=K_max, lms=lms_eff,
                     use_argmax=viterbi_assign,
                     interpret=jax.default_backend() != "tpu",
+                    stats_T=stats_T,
                 )
             if cov_type == "diag":
                 # Non-pallas diag (GSPMD mesh): the XLA twin with the
@@ -813,14 +825,6 @@ class UnigramAcousticWordseg:
                     post = corrected_candidate_post(post, Xc, touched,
                                                     K_max)
             else:
-                lo = leave_out_stats(
-                    stats, utterance_contrib(X, old_embeds, old_ks, K_max,
-                                             full_cov, rows=Xe_old)
-                )
-                lo_counts = lo.counts
-                params_b = jax.vmap(
-                    lambda s: cov.predictive_params(prior, s)
-                )(lo)
                 # Diag Viterbi scores feed a DETERMINISTIC argmax DP, and
                 # the fused diag kernel's grouped-product Student-t
                 # deviates up to ~3.3e-3 from the exact composition on
@@ -830,8 +834,32 @@ class UnigramAcousticWordseg:
                 # the exact per-dim composition on every backend.
                 fused_ok = cov_type == "fixed" or (
                     cov_type == "diag" and not viterbi_assign)
-                post = None if (pallas and fused_ok) \
-                    else jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
+                if pallas and fused_ok:
+                    # Fused-kernel path: leave-out moments and parameter
+                    # tables are built FEATURE-MAJOR ([B, D, K] -- the VMEM
+                    # layout of both the scoring and chain kernels), so no
+                    # [B, K, D] tensor or relayout copy chain exists
+                    # anywhere (~1.5 ms/sweep at flagship scale).
+                    lo = params_b = post = None
+                    lo_counts = stats.counts[None] - counts_contrib(
+                        old_ks, old_embeds >= 0, K_max
+                    )
+                    sum_xT, sum_sqT = leave_out_moments_T(
+                        stats, X, old_embeds, old_ks, K_max,
+                        with_sq=cov_type == "diag", rows=Xe_old,
+                    )
+                else:
+                    sum_xT = sum_sqT = None
+                    lo = leave_out_stats(
+                        stats, utterance_contrib(X, old_embeds, old_ks,
+                                                 K_max, full_cov,
+                                                 rows=Xe_old)
+                    )
+                    lo_counts = lo.counts
+                    params_b = jax.vmap(
+                        lambda s: cov.predictive_params(prior, s)
+                    )(lo)
+                    post = jax.vmap(cov.log_post_pred_batch)(params_b, Xc)
             w_b = jax.vmap(
                 lambda c: log_weights(c, alpha, K_max, lms,
                                       include_denominator=True, dtype=X.dtype)
@@ -839,11 +867,7 @@ class UnigramAcousticWordseg:
             if post is None:
                 # Fused scoring: the [B, M, K] logits tile never leaves
                 # VMEM (see ops/pallas_score.py).
-                from ..ops.pallas_score import (
-                    diag_log_margs,
-                    fixedvar_log_margs,
-                    fullcov_log_margs,
-                )
+                from ..ops.pallas_score import fullcov_log_margs
 
                 interp = jax.default_backend() != "tpu"
                 if cov_type == "full":
@@ -856,15 +880,23 @@ class UnigramAcousticWordseg:
                         interpret=interp,
                     ).reshape(B, N_max, W_dp)
                 elif cov_type == "fixed":
-                    log_margs = fixedvar_log_margs(
-                        Xc, prior_c, params_b.mu_pred, params_b.prec_pred,
-                        params_b.log_prod_prec, w_b, lo_counts, K=K_max,
+                    from ..ops.pallas_score import fixedvar_log_margs_T
+
+                    muT, precT = cov.predictive_params_T(
+                        prior, lo_counts, sum_xT
+                    )
+                    log_margs = fixedvar_log_margs_T(
+                        Xc, prior_c, muT, precT, w_b, lo_counts, K=K_max,
                         interpret=interp,
                     ).reshape(B, N_max, W_dp)
                 else:
-                    log_margs = diag_log_margs(
-                        Xc, prior_c, params_b.mu, params_b.inv_var,
-                        params_b.log_prod_var, params_b.v, w_b, lo_counts,
+                    from ..ops.pallas_score import diag_log_margs_T
+
+                    muT, inv_varT, v_b = cov.predictive_params_T(
+                        prior, lo_counts, sum_xT, sum_sqT
+                    )
+                    log_margs = diag_log_margs_T(
+                        Xc, prior_c, muT, inv_varT, v_b, w_b, lo_counts,
                         K=K_max, interpret=interp,
                     ).reshape(B, N_max, W_dp)
             else:
@@ -930,8 +962,9 @@ class UnigramAcousticWordseg:
                         use_argmax=viterbi_assign,
                     )
             else:
-                new_ks = run_chains(lo, params_b, new_embeds, Xe_new,
-                                    lpe_new, gumbel, assign_temp)
+                new_ks = run_chains(lo, params_b, lo_counts, sum_xT, sum_sqT,
+                                    new_embeds, Xe_new, lpe_new, gumbel,
+                                    assign_temp)
 
             # 5. Merge block updates into the global state (flat scatters on
             # both sides).  Under shard_map the deltas / assignment updates

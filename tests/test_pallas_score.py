@@ -176,3 +176,101 @@ def test_fullcov_log_margs_matches_xla():
                             lo_counts, K=K, interpret=True)
     npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-8,
                         atol=1e-8)
+
+
+def test_fixedvar_log_margs_T_matches_untransposed():
+    """The feature-major entry point (T-layout tables from
+    predictive_params_T over leave_out_moments_T sums) reproduces the
+    component-major path's scores."""
+    rng = np.random.RandomState(3)
+    B, S, M, D, K = 4, 6, 9, 4, 11
+    prior = FixedVarPrior.create(0.1 * np.ones(D), np.zeros(D), np.ones(D))
+    X = jnp.asarray(rng.randn(40, D))
+    embeds = jnp.asarray(rng.randint(-1, 40, (B, S)), jnp.int32)
+    ks = jnp.where(embeds >= 0, rng.randint(0, K, (B, S)), -1)
+    from segmentalist_tpu.ops import stats as stats_ops
+    from segmentalist_tpu.segmenters.common import (
+        leave_out_moments_T, leave_out_stats, utterance_contrib)
+
+    assign_all = jnp.asarray(rng.randint(0, K, (40,)), jnp.int32)
+    gstats = stats_ops.suff_stats_from_assignments(X, assign_all, K_max=K,
+                                                   full_cov=False)
+    lo = leave_out_stats(gstats,
+                         utterance_contrib(X, embeds, ks, K, False))
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(
+        lo.counts, lo.sum_x, lo.sum_sq)
+
+    sum_xT, _ = leave_out_moments_T(gstats, X, embeds, ks, K, with_sq=False)
+    muT, precT = cfv.predictive_params_T(prior, lo.counts, sum_xT)
+    npt.assert_allclose(np.asarray(muT),
+                        np.asarray(jnp.swapaxes(params.mu_pred, 1, 2)),
+                        rtol=1e-12, atol=1e-12)
+    npt.assert_allclose(np.asarray(precT),
+                        np.asarray(jnp.swapaxes(params.prec_pred, 1, 2)),
+                        rtol=1e-12, atol=1e-12)
+
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cfv.log_prior_batch(prior, x))(Xc)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(lo.counts)
+    from segmentalist_tpu.ops.pallas_score import fixedvar_log_margs_T
+
+    ref = fixedvar_log_margs(
+        Xc, prior_c, params.mu_pred, params.prec_pred, params.log_prod_prec,
+        w, lo.counts, K=K, interpret=True)
+    got = fixedvar_log_margs_T(Xc, prior_c, muT, precT, w, lo.counts, K=K,
+                               interpret=True)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
+                        atol=1e-12)
+
+
+def test_diag_log_margs_T_matches_untransposed():
+    rng = np.random.RandomState(4)
+    B, S, M, D, K = 3, 5, 7, 4, 9
+    from segmentalist_tpu.models import components_diag as cdg
+    from segmentalist_tpu.ops import stats as stats_ops
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.segmenters.common import (
+        leave_out_moments_T, leave_out_stats, utterance_contrib)
+    from segmentalist_tpu.ops.pallas_score import (
+        diag_log_margs, diag_log_margs_T)
+
+    prior = NIW.create(np.zeros(D), 0.5, D + 3.0, 0.4 * np.ones(D))
+    X = jnp.asarray(rng.randn(30, D))
+    embeds = jnp.asarray(rng.randint(-1, 30, (B, S)), jnp.int32)
+    ks = jnp.where(embeds >= 0, rng.randint(0, K, (B, S)), -1)
+    assign_all = jnp.asarray(rng.randint(0, K, (30,)), jnp.int32)
+    gstats = stats_ops.suff_stats_from_assignments(X, assign_all, K_max=K,
+                                                   full_cov=False)
+    lo = leave_out_stats(gstats,
+                         utterance_contrib(X, embeds, ks, K, False))
+    params = jax.vmap(lambda c, s, q: cdg.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(
+        lo.counts, lo.sum_x, lo.sum_sq)
+
+    sum_xT, sum_sqT = leave_out_moments_T(gstats, X, embeds, ks, K,
+                                          with_sq=True)
+    muT, inv_varT, v = cdg.predictive_params_T(prior, lo.counts, sum_xT,
+                                               sum_sqT)
+    npt.assert_allclose(np.asarray(muT),
+                        np.asarray(jnp.swapaxes(params.mu, 1, 2)),
+                        rtol=1e-10, atol=1e-12)
+    npt.assert_allclose(np.asarray(inv_varT),
+                        np.asarray(jnp.swapaxes(params.inv_var, 1, 2)),
+                        rtol=1e-10, atol=1e-12)
+    npt.assert_allclose(np.asarray(v), np.asarray(params.v), rtol=1e-12)
+
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cdg.log_prior_batch(prior, x))(Xc)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(lo.counts)
+    ref = diag_log_margs(Xc, prior_c, params.mu, params.inv_var,
+                         params.log_prod_var, params.v, w, lo.counts,
+                         K=K, interpret=True)
+    got = diag_log_margs_T(Xc, prior_c, muT, inv_varT, v, w, lo.counts,
+                           K=K, interpret=True)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
+                        atol=1e-10)
