@@ -411,6 +411,34 @@ def run_bigram(em, vi, du, lm, truth):
     return seg, dt, rec
 
 
+def run_unigram_fixed_long():
+    """Long-utterance row (N_max=120): exercises the dynamic-loop DP path
+    (the register-unrolled filter covers N <= 128 but the chain kernels'
+    VMEM tiles shrink) and the slab machinery at 6x the flagship candidate
+    count (SURVEY.md section 5.7; benchmarks/scaling.py measured this config
+    informally -- this puts it in the driver artifact)."""
+    from segmentalist_tpu import FBGMM
+    from segmentalist_tpu.segmenters.unigram import UnigramAcousticWordseg
+    from segmentalist_tpu.utils.synth import synthetic_corpus
+
+    em, vi, du, lm, truth = synthetic_corpus(
+        n_utterances=N_UTT, n_landmarks_max=120, D=D_EMBED,
+        K_true=50, n_slices_max=N_SLICES_MAX, seed=0,
+    )
+    em = {k: v.astype(np.float32) for k, v in em.items()}
+    n_cand = sum(m.shape[0] for m in em.values())
+    n_landmarks = sum(len(v) for v in lm.values())
+    np.random.seed(0)
+    seg = UnigramAcousticWordseg(
+        FBGMM, am_alpha=1.0, am_K=K_COMPONENTS, am_param_prior=fixed_prior(),
+        embedding_mats=em, vec_ids_dict=vi, durations_dict=du,
+        landmarks_dict=lm, p_boundary_init=0.5, beta_sent_boundary=-1,
+        n_slices_max=N_SLICES_MAX, batch_size=BATCH_SIZE, seed=0,
+    )
+    dt, rec = time_sweeps(lambda n: seg.gibbs_sample(n))
+    return seg, dt, rec, truth, n_cand, n_landmarks
+
+
 def run_kmeans(em, vi, du, lm, truth):
     from segmentalist_tpu.segmenters.kmeans_seg import SegmentalKMeansWordseg
 
@@ -473,8 +501,15 @@ def main(configs):
         % (N_UTT, n_cand, n_landmarks, K_COMPONENTS, D_EMBED))
 
     def add(name, sweep_s, ref_sweep_s, f1=None):
+        # ``sweep_ms`` is the stable headline number: the emulated-reference
+        # denominator re-measures host-CPU per-item loops each run (best-of-3
+        # of vectorised numpy bodies, see the ref_* functions above) and
+        # varies ~2x run-to-run with host load, so ``vs_baseline`` inherits
+        # that variance while the absolute device sweep time does not
+        # (PERFORMANCE.md, "emulation-denominator protocol").
         configs[name] = {
             "sweeps_per_sec": round(1.0 / sweep_s, 4),
+            "sweep_ms": round(sweep_s * 1e3, 4),
             "ref_sweeps_per_sec": round(1.0 / ref_sweep_s, 6),
             "vs_baseline": round(ref_sweep_s / sweep_s, 2),
         }
@@ -547,6 +582,22 @@ def main(configs):
     log("[kmeans_wordseg]")
     guarded("kmeans_wordseg", _run_kmeans)
 
+    # ---- 6. long utterances (N_max=120) --------------------------------- #
+    def _run_long():
+        seg_l, dt_long, _, truth_l, n_cand_l, n_lm_l = run_unigram_fixed_long()
+        ref_long = per_cand_fixed * n_cand_l + dp_lm * n_lm_l
+        add("unigram_fixed_long", dt_long, ref_long, f1_of(seg_l, truth_l))
+        configs["unigram_fixed_long"]["note"] = (
+            "1000 utterances x N_max=120 landmarks (~%dk candidates, 6x the "
+            "flagship); same K/D/W.  The lower F1 is a property of the "
+            "synthetic task at this length, not of blocked Gibbs "
+            "(benchmarks/blocked_vs_exact.py: the exact B=1 chain declines "
+            "identically; PERFORMANCE.md scaling table)." % (n_cand_l // 1000)
+        )
+
+    log("[unigram_fixed_long]")
+    guarded("unigram_fixed_long", _run_long)
+
     # ---- 1. 2-D toy clustering ----------------------------------------- #
     # The ONLY config with an in-repo measured reference number: the
     # notebook's logged sample_time, 13 ms/sweep for this exact config
@@ -585,6 +636,7 @@ def main(configs):
         "metric": "unigram_fbgmm_gibbs_sweeps_per_sec_buckeye_scale",
         "value": round(1.0 / dt_fixed, 4),
         "unit": "sweeps/sec (52k candidates, K=1000, 1 chip)",
+        "sweep_ms": round(dt_fixed * 1e3, 4),
         "vs_baseline": round(ref_fixed / dt_fixed, 2),
         "configs": configs,
     }))

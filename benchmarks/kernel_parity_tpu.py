@@ -13,11 +13,19 @@ fallback on the same inputs and reports:
     tables make `row - corr` negative -> log(negative) = NaN logits, and
     Mosaic's and XLA's argmax NaN semantics differ (this harness artifact
     was misread as carried-table drift in round 3: 0.896 agreement);
+  * stats_T=True entry points (the feature-major [B, D, K] moment layout
+    production passes): chains must bit-match the component-major calls
+    ON HARDWARE (the flag only skips a host-side swapaxes);
   * scoring kernels / DP: max absolute deviation of the returned values.
 
-Run:  python benchmarks/kernel_parity_tpu.py
+Prints one human table to stdout and ends with ONE JSON line of every
+metric; ``--out PATH`` additionally writes that JSON to PATH (the per-round
+``PARITY_rNN.json`` artifact -- ``make parity``).
+
+Run:  python benchmarks/kernel_parity_tpu.py [--out PARITY_rNN.json]
 """
 
+import json
 import os
 import sys
 
@@ -96,7 +104,17 @@ def check_fixedvar_chain():
         interpret=False)
     agree = float(jnp.mean((xla_ks == pal_ks).all(axis=1)))
     print("fixedvar_chain   identical chains: %.3f" % agree, flush=True)
-    return agree
+    # stats_T (production layout): must bit-match on hardware.
+    pal_ks_T = fixedvar_chain(
+        embeds, X[jnp.maximum(embeds, 0)],
+        log_prior_vec[jnp.maximum(embeds, 0)], gumb, counts,
+        jnp.swapaxes(sum_x, 1, 2),
+        prior.var, prior.var_0, prior.mu_0, 1.0, alpha=1.0, K=K, lms=1.0,
+        interpret=False, stats_T=True)
+    agree_T = float(jnp.mean((pal_ks == pal_ks_T).all(axis=1)))
+    print("fixedvar_chain   stats_T==stats   chains: %.3f" % agree_T,
+          flush=True)
+    return agree, agree_T
 
 
 def check_score_kernels():
@@ -335,6 +353,13 @@ def check_stirling_twins():
     d_tw = float(jnp.mean((d_nat == d_xla).all(axis=1)))
     print("diag_chain       kernel==XLA-twin chains: %.3f" % d_tw,
           flush=True)
+    dargs_T = (dargs[:5] + (jnp.swapaxes(sum_x, 1, 2),
+                            jnp.swapaxes(sum_sq, 1, 2)) + dargs[7:])
+    d_nat_T = diag_chain(*dargs_T, alpha=1.0, K=K, lms=1.0, interpret=False,
+                         stats_T=True)
+    d_sT = float(jnp.mean((d_nat == d_nat_T).all(axis=1)))
+    print("diag_chain       stats_T==stats   chains: %.3f" % d_sT,
+          flush=True)
 
     uni_lo = jnp.asarray(rng.randint(0, 9, (B, K)), dtype=jnp.int32)
     big_table = jnp.asarray(rng.randint(0, 5, (K, K)), dtype=jnp.int32)
@@ -347,6 +372,12 @@ def check_stirling_twins():
     bd_xla = bigram_diag_chain_xla(*bargs, **bkw)
     bd_tw = float(jnp.mean((bd_nat == bd_xla).all(axis=1)))
     print("bigram_diag      kernel==XLA-twin chains: %.3f" % bd_tw,
+          flush=True)
+    bargs_T = dargs_T + (uni_lo, big_table, corr_j, corr_i)
+    bd_nat_T = bigram_diag_chain(*bargs_T, interpret=False, stats_T=True,
+                                 **bkw)
+    bd_sT = float(jnp.mean((bd_nat == bd_nat_T).all(axis=1)))
+    print("bigram_diag      stats_T==stats   chains: %.3f" % bd_sT,
           flush=True)
 
     fprior = NIW.create(np.zeros(D, np.float32), 1.0, float(D) + 3.0,
@@ -423,7 +454,7 @@ def check_stirling_twins():
     bf_tw = float(jnp.mean((bf_nat == bf_xla).all(axis=1)))
     print("bigram_fullcov   kernel==XLA-twin chains: %.3f" % bf_tw,
           flush=True)
-    return d_tw, bd_tw, f_tw, bf_tw
+    return d_tw, bd_tw, f_tw, bf_tw, d_sT, bd_sT
 
 
 def check_dp():
@@ -448,14 +479,15 @@ def check_dp():
 
 
 def main():
-    agree = check_fixedvar_chain()
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    agree, agree_T = check_fixedvar_chain()
     dev, ddev = check_score_kernels()
     fdev = check_fullcov_score()
     d_agree, f_agree = check_chain_lowering()
-    d_tw, bd_tw, f_tw, bf_tw = check_stirling_twins()
+    d_tw, bd_tw, f_tw, bf_tw, d_sT, bd_sT = check_stirling_twins()
     same_b, dp_dev = check_dp()
-    # bd_tw (bigram-diag twin): fma-drift tie flips bound the agreement
-    # below 1.0 on length-10 chains (docstring); gate at the measured floor.
     # ddev (diag scoring): the grouped-product Student-t composition pays
     # Mosaic's ~1e-6 absolute log error amplified by vh = (v+1)/2 at large
     # counts (measured 3.3e-3); these scores feed only the logsumexp'ed
@@ -464,8 +496,39 @@ def main():
     ok = (agree == 1.0 and same_b == 1.0 and dev < 1e-3 and ddev < 1e-2
           and fdev < 0.5 and dp_dev < 1e-3 and d_agree > 0.95
           and f_agree > 0.95
-          and d_tw == 1.0 and bd_tw > 0.85 and f_tw == 1.0 and bf_tw == 1.0)
+          and d_tw == 1.0 and bd_tw == 1.0 and f_tw == 1.0 and bf_tw == 1.0
+          and agree_T == 1.0 and d_sT == 1.0 and bd_sT == 1.0)
     print("PARITY %s" % ("OK" if ok else "DEVIATIONS -- inspect above"))
+    results = {
+        "ok": ok,
+        "backend": str(jax.devices()[0]),
+        "config": {"B": B, "chain_len": S, "D": D, "K": K, "N_emb": N_emb,
+                   "seeds": "RandomState(0/1/4/6/8) + PRNGKey(3/5/9/11/13/15)"},
+        "chain_agreement": {
+            "fixedvar_kernel_vs_xla_twin": agree,
+            "fixedvar_statsT_vs_stats": agree_T,
+            "diag_kernel_vs_xla_twin": d_tw,
+            "diag_statsT_vs_stats": d_sT,
+            "bigram_diag_kernel_vs_xla_twin": bd_tw,
+            "bigram_diag_statsT_vs_stats": bd_sT,
+            "fullcov_kernel_vs_xla_twin": f_tw,
+            "bigram_fullcov_kernel_vs_xla_twin": bf_tw,
+            "diag_native_vs_interpret": d_agree,
+            "fullcov_native_vs_interpret": f_agree,
+            "segment_dp_identical_boundaries": same_b,
+        },
+        "score_max_abs_dev": {
+            "fixedvar_log_margs": dev,
+            "diag_log_margs": ddev,
+            "fullcov_log_margs_vs_xla_twin": fdev,
+            "segment_dp_logp": dp_dev,
+        },
+    }
+    line = json.dumps(results)
+    print(line, flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

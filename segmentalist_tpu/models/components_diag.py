@@ -71,9 +71,12 @@ def predictive_params(prior: NIW, stats: SuffStats) -> PredParams:
 def predictive_params_T(prior: NIW, counts, sum_xT, sum_sqT):
     """Transposed-layout predictive parameters: ``counts [..., K]``,
     ``sum_xT``/``sum_sqT [..., D, K]`` -> ``(muT, inv_varT [..., D, K],
-    v [..., K])``.  Same math as :func:`_derive` with the (component,
-    feature) axes swapped, so feature-major consumers (the fused scoring
-    kernel's VMEM tables) need no [K, D] -> [D, K] relayout copies."""
+    log_prod_var [..., K], v [..., K])``.  Same math as :func:`_derive` with
+    the (component, feature) axes swapped, so feature-major consumers (the
+    fused scoring kernel's VMEM tables) need no [K, D] -> [D, K] relayout
+    copies.  ``log_prod_var`` is computed from ``var`` itself (not from the
+    rounded reciprocal ``1/varT``), so the constant matches the non-T
+    :func:`predictive_params` bit-for-bit (round-4 advisor finding)."""
     n = counts.astype(sum_xT.dtype)
     k_n = prior.k_0 + n
     v_n = prior.v_0 + n
@@ -86,7 +89,7 @@ def predictive_params_T(prior: NIW, counts, sum_xT, sum_sqT):
         / (kn_d * v_n[..., None, :])
         * (s_n_partial - kn_d * jnp.square(m_nT))
     )
-    return m_nT, 1.0 / varT, v_n
+    return m_nT, 1.0 / varT, jnp.sum(jnp.log(varT), axis=-2), v_n
 
 
 def update_predictive_row(prior: NIW, stats: SuffStats, params: PredParams, k):

@@ -317,16 +317,18 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
-def diag_log_margs_T(Xc, prior_c, muT, inv_varT, v, wvec, counts,
-                     K: int, interpret: bool = False):
+def diag_log_margs_T(Xc, prior_c, muT, inv_varT, log_prod_var, v, wvec,
+                     counts, K: int, interpret: bool = False):
     """:func:`diag_log_margs` with feature-major parameter tables
     (``muT``/``inv_varT`` [B, D, K], e.g. from
-    ``components_diag.predictive_params_T``); the log-product constant and
-    the v-scaled inverse variance are derived in the kernel's own layout so
-    XLA emits no [K, D] -> [D, K] relayout copies."""
+    ``components_diag.predictive_params_T``); the v-scaled inverse variance
+    is derived in the kernel's own layout so XLA emits no [K, D] -> [D, K]
+    relayout copies.  ``log_prod_var`` must come from
+    ``predictive_params_T`` (computed from ``var``, not the rounded
+    reciprocal) so the constant bit-matches the non-T path."""
     return _diag_dispatch(
         Xc, prior_c, muT, inv_varT / v[:, None, :],
-        -jnp.sum(jnp.log(inv_varT), axis=-2), v, wvec, counts, K, interpret,
+        log_prod_var, v, wvec, counts, K, interpret,
     )
 
 
@@ -373,7 +375,27 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
     DD_pad = _round_up(DD, 8)
     S_pad = _round_up(S, 8)
     K_pad = _round_up(K, 128)
-    M_tile, M_pad, B_tile, B_pad = _score_tiling(M, B, 3, DD_pad, K_pad)
+    # Own tiling accounting: unlike the fixed/diag kernels, the [DD, K]
+    # parameter tables here are GLOBAL (one copy shared across the grid);
+    # per-utterance state is only the touched-slot tables ([DD_pad, S_pad]
+    # etc.) plus the slot one-hot [S_pad, K_pad] and a few [K_pad] vectors.
+    # The generic ``_score_tiling`` charged the shared tables per utterance
+    # and pinned B_tile at 2 -> ~63 sequential grid programs per block, each
+    # paying its pipeline prologue (round-5 profile: the kernel ran at ~25%
+    # of its HIGHEST-matmul floor).
+    M_tile = _round_up(M, 8) if M <= 256 else 128
+    M_pad = _round_up(_round_up(M, 8), M_tile)
+    budget = 12 * 2 ** 20
+    shared = 4.0 * ((DD_pad + D_pad) * K_pad + 6 * K_pad) * 1.2
+    tile_fixed = 4.0 * 3 * M_tile * K_pad * 2.2
+    per_utt = 4.0 * (M_tile * (D_pad + 2)
+                     + (DD_pad + D_pad + 4) * S_pad
+                     + S_pad * K_pad + 4 * K_pad) * 2.2
+    B_tile = min(16, _round_up(B, 8))
+    while B_tile > 1 and shared + tile_fixed + per_utt * B_tile > budget:
+        B_tile //= 2
+    B_tile = max(B_tile, 1)
+    B_pad = _round_up(B, B_tile)
 
     def bpad(a, fill=0):
         return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),

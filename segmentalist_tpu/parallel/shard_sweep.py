@@ -11,14 +11,16 @@ and segmental k-means: the whole blocked-Gibbs block step runs *per shard*
 under ``jax.shard_map`` -- Pallas kernels included -- and the cross-chip
 interaction is a handful of ``psum`` collectives per block, riding ICI:
 
-  * unigram:  flat sufficient-statistic deltas [K(,D[,D])] + the disjoint
-              assignment mask/value updates [N];
+  * unigram:  flat sufficient-statistic deltas [K(,D[,D])] per block;
   * bigram:   the same, plus the LM count-table deltas ([K] + [K, K]) --
               counts are additive (reference leave-out/re-add semantics,
               ``bigram_acoustic_wordseg.py:410, :496``), so they ride the
               same reduction;
-  * k-means:  only the assignment mask/value updates; each shard rebuilds
-              the component state from the merged vector, identically.
+  * k-means:  additive count/moment deltas per block;
+  * all:      ONE [N] assignment mask/value psum per SWEEP (deferred merge,
+              ``common.merge_assignments`` -- within a sweep no shard reads
+              a row another shard wrote, so per-block [N] psums were pure
+              overhead and the quadratic-in-U traffic term).
 
 The per-block math is the SAME code as the single-device sweep: each
 segmenter's ``_make_block_step(B, pallas, reduce_fn)`` is instantiated here
@@ -38,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..segmenters.common import merge_sweep_assignments
 
 
 def shard_blocks(order: np.ndarray, n_shards: int, u_local: int,
@@ -101,15 +105,20 @@ def build_unigram_shard_sweep(seg, mesh: Mesh, axis: str = "data"):
 
         def f(carry, idx_blk):
             return block_step(carry, idx_blk, seg_ids_l, seg_durs_l,
-                              lengths_l, anneal_temp, assign_temp), None
+                              lengths_l, anneal_temp, assign_temp)
 
         init = (stats, assignments, boundaries_l, key,
                 jnp.zeros((), dtype))
-        (stats, assignments, boundaries_l, key, lp), _ = jax.lax.scan(
+        (stats, assignments, boundaries_l, key, lp), updates = jax.lax.scan(
             f, init, blocks_l
         )
         # Replicated outputs must be identical on every shard; the psum'ed
-        # state already is.  Return a common key stream continuation.
+        # stats already are, the assignment updates merge here ONCE per
+        # sweep (the [N] mask/value pair is the only per-[N] collective --
+        # see PERFORMANCE.md "Multi-chip communication budget").
+        assignments = merge_sweep_assignments(
+            assignments, updates, lambda t: jax.lax.psum(t, axis)
+        )
         key_out = jax.lax.all_gather(key, axis)[0]
         return stats, assignments, boundaries_l, key_out, lp
 
@@ -143,12 +152,14 @@ def build_bigram_shard_sweep(seg, mesh: Mesh, assignments_only: bool,
 
         def f(carry, idx_blk):
             return block_step(carry, idx_blk, seg_ids_l, seg_durs_l,
-                              lengths_l, anneal_temp, assign_temp), None
+                              lengths_l, anneal_temp, assign_temp)
 
         init = (stats, assignments, boundaries_l, lm_state, key,
                 jnp.zeros((), dtype))
-        (stats, assignments, boundaries_l, lm_state, key, lp), _ = (
-            jax.lax.scan(f, init, blocks_l)
+        ((stats, assignments, boundaries_l, lm_state, key, lp),
+         updates) = jax.lax.scan(f, init, blocks_l)
+        assignments = merge_sweep_assignments(
+            assignments, updates, lambda t: jax.lax.psum(t, axis)
         )
         key_out = jax.lax.all_gather(key, axis)[0]
         return stats, assignments, boundaries_l, lm_state, key_out, lp
@@ -180,10 +191,13 @@ def build_kmeans_shard_sweep(seg, mesh: Mesh, axis: str = "data"):
 
         def f(carry, idx_blk):
             return block_step(carry, idx_blk, seg_ids_l, seg_durs_l,
-                              lengths_l, random_means), None
+                              lengths_l, random_means)
 
         init = (state, boundaries_l, key, jnp.zeros((), dtype))
-        (state, boundaries_l, key, obj), _ = jax.lax.scan(f, init, blocks_l)
+        (state, boundaries_l, key, obj), updates = jax.lax.scan(
+            f, init, blocks_l)
+        state = state._replace(assignments=merge_sweep_assignments(
+            state.assignments, updates, lambda t: jax.lax.psum(t, axis)))
         return state, boundaries_l, obj
 
     sweep = _shard_map(

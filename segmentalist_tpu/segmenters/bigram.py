@@ -37,15 +37,18 @@ from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, logsumexp
 from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
+    assign_rows_from_segments,
     cand_tables,
     flat_contrib,
     gather_block_segments,
     leave_out_moments_T,
     leave_out_stats,
     masked_candidate_scores,
-    merge_assignments,
+    materialize_assignments,
+    merge_sweep_assignments,
     pad_utterance_order,
     segments_from_boundaries,
+    select_assign_slots,
     slab_segment_rows,
     utterance_contrib,
 )
@@ -637,7 +640,7 @@ class BigramAcousticWordseg:
 
         block_step = self._make_block_step(
             self.batch_size, pallas=True, reduce_fn=lambda t: t,
-            assignments_only=assignments_only,
+            assignments_only=assignments_only, assign_table=True,
         )
         utt = self.utterances
         seg_ids_all = utt.seg_ids
@@ -646,10 +649,18 @@ class BigramAcousticWordseg:
         am = self.acoustic_model
         cov, prior = am.cov, am.prior
         dtype = am.X.dtype
+        N = am.X.shape[0]
         U = utt.D
         B = self.batch_size
         n_blocks = -(-U // B)
         pad = n_blocks * B - U
+        N_max, W_store = utt.N_max, utt.W
+        W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 \
+            else N_max
+        seg_w = seg_ids_all[..., :W_dp] if W_store >= W_dp else jnp.pad(
+            seg_ids_all, ((0, 0), (0, 0), (0, W_dp - W_store)),
+            constant_values=-1)
+        seg_flat = seg_w.reshape(U, N_max * W_dp)
         if self._log_prob_z_fn is None:
             self._log_prob_z_fn = self._build_log_prob_z_fn()
         lpz_fn = self._log_prob_z_fn
@@ -657,8 +668,19 @@ class BigramAcousticWordseg:
         @jax.jit
         def chunk(stats, assignments, boundaries, lm_state, key, temps,
                   assign_temps, cand_X_all=None, cand_lp_all=None):
+            # Compact slot-table carry across the chunk (see
+            # segmenters/unigram.py); the [N] vector is re-materialized
+            # once at the end.
+            embeds0, segs0 = gather_block_segments(
+                boundaries, lengths_all, seg_ids_all
+            )
+            ks0 = jnp.where(embeds0 >= 0,
+                            assignments[jnp.maximum(embeds0, 0)], -1)
+            a_dtype = assignments.dtype
+            A = assign_rows_from_segments(segs0, ks0, W_dp, N_max * W_dp)
+
             def one_sweep(carry, ts):
-                stats, assignments, boundaries, lm_state, key = carry
+                stats, A, boundaries, lm_state, key = carry
                 anneal_temp, assign_temp = ts
                 key, k_perm = jax.random.split(key)
                 perm = jax.random.permutation(k_perm, U).astype(jnp.int32)
@@ -671,34 +693,34 @@ class BigramAcousticWordseg:
                         c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                         anneal_temp, assign_temp,
                         cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
-                    ), None
+                    )
 
-                init = (stats, assignments, boundaries, lm_state, key,
+                init = (stats, A, boundaries, lm_state, key,
                         jnp.zeros((), dtype))
-                (stats, assignments, boundaries, lm_state, key, lp), _ = (
-                    jax.lax.scan(f, init, blocks)
-                )
+                ((stats, A, boundaries, lm_state, key, lp),
+                 _) = jax.lax.scan(f, init, blocks)
                 segs = segments_from_boundaries(boundaries, lengths_all)
                 embeds = gather_segment_embeds(segs, seg_ids_all)
                 ks = jnp.where(
-                    embeds >= 0, assignments[jnp.maximum(embeds, 0)], -1
+                    embeds >= 0, select_assign_slots(A, segs, W_dp), -1
                 )
                 m = (
                     ks,
                     cov.log_marg(prior, stats),
                     num_active(stats),
-                    jnp.sum((assignments >= 0).astype(jnp.int32)),
+                    jnp.sum((A >= 0).astype(jnp.int32)),
                 )
-                return (stats, assignments, boundaries, lm_state, key), \
+                return (stats, A, boundaries, lm_state, key), \
                     (lp, m)
 
-            (stats, assignments, boundaries, lm_state, key), (lps, ms) = (
+            (stats, A, boundaries, lm_state, key), (lps, ms) = (
                 jax.lax.scan(
                     one_sweep,
-                    (stats, assignments, boundaries, lm_state, key),
+                    (stats, A, boundaries, lm_state, key),
                     (temps, assign_temps),
                 )
             )
+            assignments = materialize_assignments(A, seg_flat, N, a_dtype)
             # The LM-replay metric's batched sort is pass-latency-bound,
             # not bandwidth-bound, so replaying all chunk sweeps in ONE
             # vmapped sort costs about the same as one sweep's replay
@@ -785,12 +807,14 @@ class BigramAcousticWordseg:
         return log_prob_z
 
     def _make_block_step(self, B: int, pallas: bool, reduce_fn,
-                         assignments_only: bool):
+                         assignments_only: bool, assign_table: bool = False):
         """Per-block bigram Gibbs update, shared by the single-device sweep
         (``reduce_fn`` = identity) and the shard_map sweep (``reduce_fn`` =
-        ``psum``); see ``UnigramAcousticWordseg._make_block_step``.  The LM
-        count-table deltas are additive, so under shard_map they ride the
-        same ``psum`` as the acoustic-statistic deltas."""
+        ``psum``); see ``UnigramAcousticWordseg._make_block_step`` (incl.
+        the deferred once-per-sweep assignment-merge contract: returns
+        ``(carry, updates)``).  The LM count-table deltas are additive, so
+        under shard_map they ride the same ``psum`` as the
+        acoustic-statistic deltas."""
         am = self.acoustic_model
         cov, prior = am.cov, am.prior
         X = am.X
@@ -936,9 +960,15 @@ class BigramAcousticWordseg:
             old_embeds, segs_old = gather_block_segments(
                 bounds_blk, lengths_blk, seg_ids_blk
             )
-            old_ks = jnp.where(
-                old_embeds >= 0, assignments[jnp.maximum(old_embeds, 0)], -1
-            )
+            if assign_table:
+                old_ks = select_assign_slots(assignments[idx], segs_old,
+                                             W_dp)
+                old_ks = jnp.where(old_embeds >= 0, old_ks, -1)
+            else:
+                old_ks = jnp.where(
+                    old_embeds >= 0,
+                    assignments[jnp.maximum(old_embeds, 0)], -1,
+                )
             pj, pi = transcript_pairs_batch(old_ks)
             # Sweep-static candidate tensors indexed as per-utterance slabs
             # when precomputed, and segment rows pulled from them by one-hot
@@ -1037,12 +1067,13 @@ class BigramAcousticWordseg:
                     # segmenters/unigram.py).
                     from ..ops.pallas_score import diag_log_margs_T
 
-                    muT, inv_varT, v_b = cov.predictive_params_T(
+                    muT, inv_varT, lpv_b, v_b = cov.predictive_params_T(
                         prior, lo_counts, sum_xT, sum_sqT
                     )
                     log_margs = diag_log_margs_T(
-                        Xc, prior_c, muT, inv_varT, v_b, w_b, lo_counts,
-                        K=K_max, interpret=jax.default_backend() != "tpu",
+                        Xc, prior_c, muT, inv_varT, lpv_b, v_b, w_b,
+                        lo_counts, K=K_max,
+                        interpret=jax.default_backend() != "tpu",
                     ).reshape(B, N_max, W_dp)
                 else:
                     if post is None:
@@ -1207,16 +1238,21 @@ class BigramAcousticWordseg:
                 lambda g, d: (g + d).astype(g.dtype), lm_state, lm_delta
             )
 
-            assignments = merge_assignments(
-                assignments, valid, old_embeds, new_embeds, new_ks, reduce_fn
-            )
-
             idx_w = jnp.where(valid, idx, boundaries.shape[0])
             boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
             lp_total = lp_total + reduce_fn(
                 jnp.sum(jnp.where(valid, log_prob, 0.0))
             )
-            return (stats, assignments, boundaries, lm_state, key, lp_total)
+            if assign_table:
+                rows_a = assign_rows_from_segments(
+                    segs_new, new_ks, W_dp, N_max * W_dp
+                )
+                assignments = assignments.at[idx_w].set(rows_a, mode="drop")
+                return ((stats, assignments, boundaries, lm_state, key,
+                         lp_total), None)
+            return ((stats, assignments, boundaries, lm_state, key,
+                     lp_total),
+                    (valid, old_embeds, new_embeds, new_ks))
 
         return block_step
 
@@ -1241,12 +1277,14 @@ class BigramAcousticWordseg:
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                     anneal_temp, assign_temp,
                     cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
-                ), None
+                )
 
             init = (stats, assignments, boundaries, lm_state, key,
                     jnp.zeros((), dtype))
-            (stats, assignments, boundaries, lm_state, key, lp_total), _ = (
-                jax.lax.scan(f, init, blocks)
+            ((stats, assignments, boundaries, lm_state, key, lp_total),
+             updates) = jax.lax.scan(f, init, blocks)
+            assignments = merge_sweep_assignments(
+                assignments, updates, lambda t: t
             )
             return stats, assignments, boundaries, lm_state, key, lp_total
 

@@ -164,25 +164,37 @@ def utterance_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
     ``embeds`` [B, S] (-1 pads) with component assignments ``ks`` [B, S]
     (entries with embed == -1 or k == -1 contribute nothing).  ``rows``
     ([B, S, D]) supplies the embedding rows directly (see ``flat_contrib``).
+
+    The moment sums ride the SAME HIGHEST-precision ``bsd,bsk->bdk`` one-hot
+    einsum as :func:`leave_out_moments_T` (transposed afterwards -- a pure
+    relayout, no arithmetic), so the XLA-fallback/mesh path and the fused
+    Pallas path build bit-identical leave-out statistics: a ``segment_sum``
+    here would sum in a different order and could flip near-tied chain
+    argmaxes across backends (round-4 advisor finding).  One-hot matmuls are
+    also the faster form on TPU (scatter-adds serialize per index).
     """
-
-    def one(e_row, k_row, x):
-        valid = (e_row >= 0) & (k_row >= 0)
-        seg = jnp.where(valid, k_row, K_max)
-        if x is None:
-            x = X[jnp.maximum(e_row, 0)]
-        x = jnp.where(valid[:, None], x, 0.0)
-        counts = jax.ops.segment_sum(
-            valid.astype(jnp.int32), seg, num_segments=K_max + 1
-        )[:-1]
-        sum_x = jax.ops.segment_sum(x, seg, num_segments=K_max + 1)[:-1]
-        sq = item_sq(x, full_cov)
-        sum_sq = jax.ops.segment_sum(sq, seg, num_segments=K_max + 1)[:-1]
-        return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
-
-    if rows is not None:
-        return jax.vmap(one)(embeds, ks, rows)
-    return jax.vmap(lambda e, k: one(e, k, None))(embeds, ks)
+    valid = (embeds >= 0) & (ks >= 0)
+    x = X[jnp.maximum(embeds, 0)] if rows is None else rows
+    x = jnp.where(valid[:, :, None], x, 0.0)
+    oh = jnp.where(
+        valid[:, :, None],
+        jax.nn.one_hot(jnp.maximum(ks, 0), K_max, dtype=x.dtype),
+        0.0,
+    )  # [B, S, K]
+    # Exact: <= S ones per (b, k) lane, integer-valued f32 sums.
+    counts = jnp.sum(oh, axis=1).astype(jnp.int32)
+    sum_x = jnp.swapaxes(
+        jnp.einsum("bsd,bsk->bdk", x, oh,
+                   precision=jax.lax.Precision.HIGHEST), 1, 2)
+    if full_cov:
+        sq = item_sq(x, True)  # [B, S, D, D]
+        sum_sq = jnp.einsum("bsk,bsde->bkde", oh, sq,
+                            precision=jax.lax.Precision.HIGHEST)
+    else:
+        sum_sq = jnp.swapaxes(
+            jnp.einsum("bsd,bsk->bdk", x * x, oh,
+                       precision=jax.lax.Precision.HIGHEST), 1, 2)
+    return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
 
 
 def leave_out_stats(global_stats: SuffStats, contrib: SuffStats) -> SuffStats:
@@ -304,15 +316,26 @@ def merge_contribs(global_stats: SuffStats, old: SuffStats, new: SuffStats,
 
 def merge_assignments(assignments: Array, valid: Array, old_embeds: Array,
                       new_embeds: Array, new_ks: Array, reduce_fn) -> Array:
-    """Merge a block's assignment updates into the global vector.
+    """Merge assignment updates into the global vector, ONCE PER SWEEP.
 
     Updates are disjoint across utterances (each embedding row belongs to
     exactly one), so a mask/value pair scattered with an out-of-bounds
     sentinel + ``mode="drop"`` merges exactly -- locally and, psum'ed by
-    ``reduce_fn``, across shard_map shards (every shard ends the block
+    ``reduce_fn``, across shard_map shards (every shard ends the sweep
     with identical replicated state).  Old segments clear to -1 first;
     new segments overwrite, so same-utterance overlap resolves new-wins
     (the two scatters are applied in that order to the same value vector).
+
+    Called once per SWEEP with every block's updates flattened together
+    (round 5): within a sweep each utterance is resampled exactly once (the
+    blocks partition a permutation), so no block ever reads an assignment
+    row another block of the same sweep wrote -- deferring the merge is
+    exact, removes four latency-bound [N] scatters per BLOCK (~0.5 ms/sweep
+    at flagship scale, the largest residual item of the round-4 profile),
+    and cuts the shard_map path's cross-chip [N] traffic from quadratic in
+    corpus size to linear (PERFORMANCE.md, "Multi-chip communication
+    budget").  Callers that sample one utterance repeatedly
+    (``gibbs_sample_i``, ``debug_gibbs_only``) still merge every sweep.
 
     Re-implements the reference's per-utterance del/assign pairs
     (unigram_acoustic_wordseg.py:270-273, :339-349) as batched scatters.
@@ -340,6 +363,81 @@ def merge_assignments(assignments: Array, valid: Array, old_embeds: Array,
 # ---------------------------------------------------------------------------#
 #                         candidate segment scoring                           #
 # ---------------------------------------------------------------------------#
+
+def _slot_ids(segs: Segments, W_dp: int):
+    """Candidate-slab slot index (end * W_dp + w) of each segment, plus its
+    validity (real segment AND within the DP window -- slots for wider
+    spans do not exist, matching ``gather_segment_embeds``)."""
+    valid = (segs.ends >= 0) & (segs.ws < W_dp)
+    slots = jnp.maximum(segs.ends, 0) * W_dp + jnp.clip(segs.ws, 0, W_dp - 1)
+    return slots, valid
+
+
+def assign_rows_from_segments(segs: Segments, ks: Array, W_dp: int,
+                              M: int) -> Array:
+    """[B, M] per-utterance slot-assignment rows (-1 = no segment at slot).
+
+    The compact dual of the [N] assignment vector restricted to one
+    utterance: row[slot(end, w)] = component of the segment ending at
+    ``end`` with width ``w`` in the CURRENT segmentation, -1 elsewhere.
+    Built scatter-free (one-hot einsum; values < 2^24 so HIGHEST f32
+    passes are exact).  Rebuilding the row from scratch each update
+    implicitly clears the old segmentation's slots -- the same semantics
+    as ``merge_assignments``'s clear-then-set scatters without touching
+    the [N] vector (TPU scatters are element-rate-bound, ~6 ns/element:
+    the four [N] scatters cost ~0.5 ms/sweep at flagship scale).
+    """
+    slots, valid = _slot_ids(segs, W_dp)
+    dtype = jnp.float32
+    oh = jax.nn.one_hot(slots, M, dtype=dtype) * valid[..., None].astype(dtype)
+    vals = jnp.where(valid, ks + 1, 0).astype(dtype)
+    row = jnp.einsum("bsm,bs->bm", oh, vals,
+                     precision=jax.lax.Precision.HIGHEST)
+    return row.astype(jnp.int32) - 1
+
+
+def select_assign_slots(rows: Array, segs: Segments, W_dp: int) -> Array:
+    """[B, S] component of each segment, read from per-utterance slot rows
+    (the compact inverse of ``assignments[gather_segment_embeds(...)]``)."""
+    slots, valid = _slot_ids(segs, W_dp)
+    dtype = jnp.float32
+    oh = jax.nn.one_hot(slots, rows.shape[-1], dtype=dtype) \
+        * valid[..., None].astype(dtype)
+    sel = jnp.einsum("bsm,bm->bs", oh, (rows + 1).astype(dtype),
+                     precision=jax.lax.Precision.HIGHEST)
+    return sel.astype(jnp.int32) - 1
+
+
+def materialize_assignments(A: Array, seg_ids_flat: Array, N: int,
+                            dtype=jnp.int32) -> Array:
+    """[N] assignment vector from the per-utterance slot table ``A``
+    ([U, M], -1 = empty) and the matching flat candidate-id table
+    ([U, M], -1 = no stored span).
+
+    Exact under the sweep invariant the validators check
+    (``utils/debug.py``): only embeddings of the CURRENT segmentation are
+    assigned, so the vector IS "A's valid slots, -1 elsewhere".  One
+    scatter per fused chunk instead of four per sweep."""
+    ids = jnp.where(seg_ids_flat >= 0, seg_ids_flat, N).reshape(-1)
+    return jnp.full((N,), -1, dtype).at[ids].set(
+        A.reshape(-1).astype(dtype), mode="drop")
+
+
+def merge_sweep_assignments(assignments: Array, updates, reduce_fn) -> Array:
+    """Apply one sweep's stacked per-block assignment updates (the block-
+    step scan's ys) in one :func:`merge_assignments` call.
+
+    ``updates`` = (valid [nb, B], old_embeds / new_embeds / new_ks
+    [nb, B, S]).  Blocks within a sweep touch disjoint utterances, so
+    flattening them into one scatter pair is exact (see
+    :func:`merge_assignments`).
+    """
+    valid, old_e, new_e, ks = updates
+    S = old_e.shape[-1]
+    return merge_assignments(
+        assignments, valid.reshape(-1), old_e.reshape(-1, S),
+        new_e.reshape(-1, S), ks.reshape(-1, S), reduce_fn)
+
 
 def masked_candidate_scores(log_margs: Array, seg_ids_blk: Array,
                             seg_durs_blk: Array, time_power_term,
@@ -475,10 +573,17 @@ def cand_tables(utterances, n_slices_max: int, X, log_prior_vec=None):
     else:
         seg = jnp.pad(seg, ((0, 0), (0, 0), (0, W_dp - W_store)),
                       constant_values=-1)
+    # Stored flat as [U, N_max * W_dp(, D)] -- the exact layout the scoring
+    # kernels consume -- so the per-block pull is one row gather with NO
+    # relayout/reshape copies behind it (the 4-D [U, N, W, D] form made XLA
+    # pick a {1,3,2,0} table layout and pay two [B, M, D] copies per block,
+    # ~0.15 ms/sweep at flagship scale; round-5 profile).
     ids = jnp.maximum(seg, 0)
+    U = seg.shape[0]
     if log_prior_vec is None:
-        return X[ids], None
-    return X[ids], log_prior_vec[ids]
+        return X[ids].reshape(U, N_max * W_dp, -1), None
+    return (X[ids].reshape(U, N_max * W_dp, -1),
+            log_prior_vec[ids].reshape(U, N_max * W_dp))
 
 
 def pad_utterance_order(order, batch_size: int):

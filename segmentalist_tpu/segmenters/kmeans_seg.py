@@ -34,11 +34,14 @@ from ..models.kmeans import (
 from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF
 from .common import (
+    assign_rows_from_segments,
     cand_tables,
     flat_contrib,
     gather_block_segments,
-    merge_assignments,
+    materialize_assignments,
+    merge_sweep_assignments,
     pad_utterance_order,
+    select_assign_slots,
     slab_segment_rows,
 )
 from .unigram import process_embeddings
@@ -412,7 +415,8 @@ class SegmentalKMeansWordseg:
         from .unigram import _WORDSEG_CHUNK
 
         block_step = self._make_block_step(
-            self.batch_size, pallas=True, reduce_fn=lambda t: t
+            self.batch_size, pallas=True, reduce_fn=lambda t: t,
+            assign_table=True,
         )
         utt = self.utterances
         seg_ids_all = utt.seg_ids
@@ -421,13 +425,32 @@ class SegmentalKMeansWordseg:
         am = self.acoustic_model
         X = am.X
         dtype = X.dtype
+        N = X.shape[0]
         U = utt.D
         B = self.batch_size
         n_blocks = -(-U // B)
         pad = n_blocks * B - U
+        N_max, W_store = utt.N_max, utt.W
+        W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 \
+            else N_max
+        seg_w = seg_ids_all[..., :W_dp] if W_store >= W_dp else jnp.pad(
+            seg_ids_all, ((0, 0), (0, 0), (0, W_dp - W_store)),
+            constant_values=-1)
+        seg_flat = seg_w.reshape(U, N_max * W_dp)
 
         @jax.jit
         def chunk(state, random_means, boundaries, key, cand_X_all=None):
+            # Compact slot-table carry across the chunk; the [N] vector is
+            # materialized once at the end (see segmenters/unigram.py).
+            embeds0, segs0 = gather_block_segments(
+                boundaries, lengths_all, seg_ids_all
+            )
+            ks0 = jnp.where(embeds0 >= 0,
+                            state.assignments[jnp.maximum(embeds0, 0)], -1)
+            a_dtype = state.assignments.dtype
+            state_t = state._replace(assignments=assign_rows_from_segments(
+                segs0, ks0, W_dp, N_max * W_dp))
+
             def one_sweep(carry, _):
                 state, boundaries, key = carry
                 key, k_perm = jax.random.split(key)
@@ -440,35 +463,48 @@ class SegmentalKMeansWordseg:
                     return block_step(
                         c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                         random_means, cand_X_all=cand_X_all,
-                    ), None
+                    )
 
                 init = (state, boundaries, key, jnp.zeros((), dtype))
                 (state, boundaries, key, obj), _ = jax.lax.scan(
                     f, init, blocks
                 )
+                # The objective metric wants the [N] vector: one
+                # materialize scatter per sweep (vs four merge scatters
+                # before; the table stays the carry).
+                a_vec = materialize_assignments(
+                    state.assignments, seg_flat, N, a_dtype)
                 m = (
-                    sum_neg_sqrd_norm(X, state, random_means),
+                    sum_neg_sqrd_norm(
+                        X, state._replace(assignments=a_vec), random_means),
                     jnp.sum((state.counts > 0).astype(jnp.int32)),
-                    jnp.sum((state.assignments >= 0).astype(jnp.int32)),
+                    jnp.sum((a_vec >= 0).astype(jnp.int32)),
                 )
                 return (state, boundaries, key), (obj, m)
 
-            (state, boundaries, key), (objs, ms) = jax.lax.scan(
-                one_sweep, (state, boundaries, key),
+            (state_t2, boundaries, key), (objs, ms) = jax.lax.scan(
+                one_sweep, (state_t, boundaries, key),
                 None, length=_WORDSEG_CHUNK,
             )
-            return state, boundaries, objs, ms
+            state_out = state_t2._replace(assignments=materialize_assignments(
+                state_t2.assignments, seg_flat, N, a_dtype))
+            return state_out, boundaries, objs, ms
 
         cand_X_all = self._cand_table()
         return lambda *args: chunk(*args, cand_X_all=cand_X_all)
 
-    def _make_block_step(self, B: int, pallas: bool, reduce_fn):
+    def _make_block_step(self, B: int, pallas: bool, reduce_fn,
+                         assign_table: bool = False):
         """Per-block segmental k-means update, shared by the single-device
         sweep (``reduce_fn`` = identity) and the shard_map sweep
         (``reduce_fn`` = ``psum``); see
-        ``UnigramAcousticWordseg._make_block_step``.  Only the assignment
-        mask/value updates cross shards: the component state is rebuilt from
-        the merged assignment vector, identically on every shard."""
+        ``UnigramAcousticWordseg._make_block_step`` (incl. the deferred
+        once-per-sweep assignment-merge contract: returns ``(carry,
+        updates)``, and the ``assign_table`` fused-chunk mode where
+        ``state.assignments`` carries the compact [U, M] slot table and
+        ``updates`` is None).  The component state crosses shards as
+        additive count/moment deltas; the [N] assignment vector needs
+        agreement only at sweep end."""
         am = self.acoustic_model
         X = am.X
         K_max = am.K_max
@@ -551,21 +587,22 @@ class SegmentalKMeansWordseg:
             new_ks = new_ks.reshape(new_embeds.shape).astype(jnp.int32)
             new_ks = jnp.where(new_embeds >= 0, new_ks, -1)
 
-            # Apply: merge the (disjoint) assignment updates -- psum'ed
-            # across shards under shard_map -- then rebuild the stats from
-            # the merged vector, identically everywhere.
-            assignments = merge_assignments(
-                state.assignments, valid, old_embeds, new_embeds, new_ks,
-                reduce_fn,
-            )
             # Delta statistics update (additive, so it psums across shards
-            # exactly like the assignment mask): rebuilding from the full
-            # [N] assignment vector cost two segment-sums over the whole
-            # corpus per block and dominated the sweep.
-            old_ks = jnp.where(
-                old_embeds >= 0,
-                state.assignments[jnp.maximum(old_embeds, 0)], -1,
-            )
+            # exactly like the stat deltas of the Gibbs drivers): rebuilding
+            # from the full [N] assignment vector cost two segment-sums over
+            # the whole corpus per block and dominated the sweep.  The [N]
+            # assignment vector itself is NOT touched here: the sweep
+            # builders apply one deferred merge per sweep (see
+            # ``common.merge_assignments``).
+            if assign_table:
+                old_ks = select_assign_slots(state.assignments[idx],
+                                             segs_old, W_dp)
+                old_ks = jnp.where(old_embeds >= 0, old_ks, -1)
+            else:
+                old_ks = jnp.where(
+                    old_embeds >= 0,
+                    state.assignments[jnp.maximum(old_embeds, 0)], -1,
+                )
             old_c = flat_contrib(X, old_embeds, old_ks, K_max, False, valid,
                                  rows=Xe_old)
             new_c = flat_contrib(X, new_embeds, new_ks, K_max, False, valid,
@@ -573,18 +610,26 @@ class SegmentalKMeansWordseg:
             d_counts, d_sum_x = reduce_fn((
                 new_c.counts - old_c.counts, new_c.sum_x - old_c.sum_x,
             ))
+            idx_w = jnp.where(valid, idx, boundaries.shape[0])
+            assignments = state.assignments
+            if assign_table:
+                rows_a = assign_rows_from_segments(
+                    segs_new, new_ks, W_dp, N_max * W_dp
+                )
+                assignments = assignments.at[idx_w].set(rows_a, mode="drop")
             state = KMeansState(
                 assignments=assignments,
                 counts=state.counts + d_counts,
                 sum_x=state.sum_x + d_sum_x,
             )
 
-            idx_w = jnp.where(valid, idx, boundaries.shape[0])
             boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
             obj_total = obj_total + reduce_fn(
                 jnp.sum(jnp.where(valid, obj, 0.0))
             )
-            return (state, boundaries, key, obj_total)
+            return ((state, boundaries, key, obj_total),
+                    None if assign_table
+                    else (valid, old_embeds, new_embeds, new_ks))
 
         return block_step
 
@@ -606,12 +651,14 @@ class SegmentalKMeansWordseg:
                 return block_step(
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                     random_means, cand_X_all=cand_X_all,
-                ), None
+                )
 
             init = (state, boundaries, key, jnp.zeros((), dtype))
-            (state, boundaries, key, obj_total), _ = jax.lax.scan(
+            (state, boundaries, key, obj_total), updates = jax.lax.scan(
                 f, init, blocks
             )
+            state = state._replace(assignments=merge_sweep_assignments(
+                state.assignments, updates, lambda t: t))
             return state, boundaries, obj_total
 
         if on_mesh:

@@ -34,14 +34,17 @@ from ..ops import dp as dp_ops
 from ..ops.random import NEG_INF, logsumexp
 from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
+    assign_rows_from_segments,
     cand_tables,
     flat_contrib,
     gather_block_segments,
     leave_out_moments_T,
     leave_out_stats,
     masked_candidate_scores,
-    merge_assignments,
+    materialize_assignments,
+    merge_sweep_assignments,
     pad_utterance_order,
+    select_assign_slots,
     slab_segment_rows,
     utterance_contrib,
 )
@@ -603,11 +606,31 @@ class UnigramAcousticWordseg:
             self._sweep_fn = self._build_sweep_fn()
         return self._sweep_fn
 
-    def _make_block_step(self, B: int, pallas: bool, reduce_fn):
+    def _make_block_step(self, B: int, pallas: bool, reduce_fn,
+                         assign_table: bool = False):
         """Build the per-block Gibbs update, shared by the single-device sweep
         (``reduce_fn`` = identity) and the explicit-collective shard_map sweep
         (``reduce_fn`` = ``psum`` over the mesh axis; ``B`` is then the
         per-shard block size, see ``parallel/shard_sweep.py``).
+
+        Returns ``(carry, updates)``: the [N] assignment vector in the carry
+        is READ-ONLY within a sweep -- each block returns its
+        ``(valid, old_embeds, new_embeds, new_ks)`` and the sweep builders
+        apply ONE deferred ``merge_sweep_assignments`` after the block scan
+        (exact: blocks partition a permutation, so no block reads a row
+        another block of the same sweep wrote; see
+        ``common.merge_assignments``).
+
+        ``assign_table=True`` (the fused-chunk fast path) replaces the [N]
+        assignment vector in the carry with the compact per-utterance slot
+        table [U, N_max * W_dp] (see ``common.assign_rows_from_segments``):
+        reads become one-hot slot selects, writes become scatter-free row
+        rebuilds + one row-granular ``.at[idx].set``, and the [N] vector is
+        materialized ONCE per chunk instead of via four element-rate-bound
+        [N] scatters per sweep (~0.5 ms/sweep at flagship scale, the largest
+        residual of the round-5 profile).  ``updates`` is then ``None``.
+        Chain values are bit-identical: the table stores the same integers
+        the vector would, and every read/write rides exact one-hot selects.
 
         ``pallas=False`` selects the pure-XLA kernels (required under a GSPMD
         mesh: GSPMD cannot partition ``pallas_call`` inside plain ``jit``).
@@ -772,11 +795,19 @@ class UnigramAcousticWordseg:
             old_embeds, segs_old = gather_block_segments(
                 bounds_blk, lengths_blk, seg_ids_blk
             )
-            old_ks = jnp.where(
-                old_embeds >= 0,
-                assignments[jnp.maximum(old_embeds, 0)],
-                -1,
-            )
+            if assign_table:
+                # ``assignments`` carries the [U, M] slot table: row-gather
+                # the block's rows and one-hot-select the segments' slots
+                # (same integers as the [N]-vector gather, exactly).
+                old_ks = select_assign_slots(assignments[idx], segs_old,
+                                             W_dp)
+                old_ks = jnp.where(old_embeds >= 0, old_ks, -1)
+            else:
+                old_ks = jnp.where(
+                    old_embeds >= 0,
+                    assignments[jnp.maximum(old_embeds, 0)],
+                    -1,
+                )
 
             # 2. Candidate scoring: one batched embeddings x components
             #    kernel for the whole block (HOT LOOP #1 of the reference,
@@ -892,12 +923,12 @@ class UnigramAcousticWordseg:
                 else:
                     from ..ops.pallas_score import diag_log_margs_T
 
-                    muT, inv_varT, v_b = cov.predictive_params_T(
+                    muT, inv_varT, lpv_b, v_b = cov.predictive_params_T(
                         prior, lo_counts, sum_xT, sum_sqT
                     )
                     log_margs = diag_log_margs_T(
-                        Xc, prior_c, muT, inv_varT, v_b, w_b, lo_counts,
-                        K=K_max, interpret=interp,
+                        Xc, prior_c, muT, inv_varT, lpv_b, v_b, w_b,
+                        lo_counts, K=K_max, interpret=interp,
                     ).reshape(B, N_max, W_dp)
             else:
                 logits = w_b[:, None, :] + jnp.where(
@@ -985,16 +1016,20 @@ class UnigramAcousticWordseg:
                 lambda g, d: (g + d).astype(g.dtype), stats, delta
             )
 
-            assignments = merge_assignments(
-                assignments, valid, old_embeds, new_embeds, new_ks, reduce_fn
-            )
-
             idx_w = jnp.where(valid, idx, boundaries.shape[0])
             boundaries = boundaries.at[idx_w].set(new_bounds, mode="drop")
             lp_total = lp_total + reduce_fn(
                 jnp.sum(jnp.where(valid, log_prob, 0.0))
             )
-            return (stats, assignments, boundaries, key, lp_total)
+            if assign_table:
+                rows_a = assign_rows_from_segments(
+                    segs_new, new_ks, W_dp, N_max * W_dp
+                )
+                assignments = assignments.at[idx_w].set(rows_a, mode="drop")
+                return ((stats, assignments, boundaries, key, lp_total),
+                        None)
+            return ((stats, assignments, boundaries, key, lp_total),
+                    (valid, old_embeds, new_embeds, new_ks))
 
         return block_step
 
@@ -1020,7 +1055,8 @@ class UnigramAcousticWordseg:
         from ..ops.stats import num_active
 
         block_step = self._make_block_step(
-            self.batch_size, pallas=True, reduce_fn=lambda t: t
+            self.batch_size, pallas=True, reduce_fn=lambda t: t,
+            assign_table=True,
         )
         utt = self.utterances
         seg_ids_all = utt.seg_ids
@@ -1029,16 +1065,36 @@ class UnigramAcousticWordseg:
         am = self.acoustic_model
         cov, prior, alpha, K_max = am.cov, am.prior, am.alpha, am.K_max
         dtype = am.X.dtype
+        N = am.X.shape[0]
         U = utt.D
         B = self.batch_size
         n_blocks = -(-U // B)
         pad = n_blocks * B - U
+        # Flat candidate-id table matching the slot-table layout (same
+        # window clamp/pad as the block step's dp_slice).
+        N_max, W_store = utt.N_max, utt.W
+        W_dp = min(self.n_slices_max, N_max) if self.n_slices_max > 0 \
+            else N_max
+        seg_w = seg_ids_all[..., :W_dp] if W_store >= W_dp else jnp.pad(
+            seg_ids_all, ((0, 0), (0, 0), (0, W_dp - W_store)),
+            constant_values=-1)
+        seg_flat = seg_w.reshape(U, N_max * W_dp)
 
         @jax.jit
         def chunk(stats, assignments, boundaries, key, temps, assign_temps,
                   cand_X_all=None, cand_lp_all=None):
+            # [N] vector -> compact per-utterance slot table (round 5): the
+            # chunk's 8 sweeps never touch the [N] vector; it is
+            # re-materialized ONCE at the end (common.py helpers).
+            embeds0, segs0 = gather_block_segments(
+                boundaries, lengths_all, seg_ids_all
+            )
+            ks0 = jnp.where(embeds0 >= 0,
+                            assignments[jnp.maximum(embeds0, 0)], -1)
+            A = assign_rows_from_segments(segs0, ks0, W_dp, N_max * W_dp)
+
             def one_sweep(carry, ts):
-                stats, assignments, boundaries, key = carry
+                stats, A, boundaries, key = carry
                 anneal_temp, assign_temp = ts
                 key, k_perm = jax.random.split(key)
                 perm = jax.random.permutation(k_perm, U).astype(jnp.int32)
@@ -1051,25 +1107,30 @@ class UnigramAcousticWordseg:
                         c, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                         anneal_temp, assign_temp,
                         cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
-                    ), None
+                    )
 
-                init = (stats, assignments, boundaries, key,
-                        jnp.zeros((), dtype))
-                (stats, assignments, boundaries, key, lp), _ = jax.lax.scan(
+                init = (stats, A, boundaries, key, jnp.zeros((), dtype))
+                ((stats, A, boundaries, key, lp), _) = jax.lax.scan(
                     f, init, blocks
                 )
                 m = (
                     log_prob_z_dirichlet(stats.counts, alpha, K_max),
                     cov.log_marg(prior, stats),
                     num_active(stats),
-                    jnp.sum((assignments >= 0).astype(jnp.int32)),
+                    # Every assigned embedding is exactly one valid slot of
+                    # the CURRENT segmentation (the validator invariant), so
+                    # the slot-table count equals the [N]-vector count.
+                    jnp.sum((A >= 0).astype(jnp.int32)),
                     jnp.sum(stats.counts),
                 )
-                return (stats, assignments, boundaries, key), (lp, m)
+                return (stats, A, boundaries, key), (lp, m)
 
-            (stats, assignments, boundaries, key), (lps, ms) = jax.lax.scan(
-                one_sweep, (stats, assignments, boundaries, key),
+            (stats, A, boundaries, key), (lps, ms) = jax.lax.scan(
+                one_sweep, (stats, A, boundaries, key),
                 (temps, assign_temps),
+            )
+            assignments = materialize_assignments(
+                A, seg_flat, N, assignments.dtype
             )
             return stats, assignments, boundaries, key, lps, ms
 
@@ -1099,12 +1160,14 @@ class UnigramAcousticWordseg:
                     carry, idx_blk, seg_ids_all, seg_durs_all, lengths_all,
                     anneal_temp, assign_temp,
                     cand_X_all=cand_X_all, cand_lp_all=cand_lp_all,
-                ), None
+                )
 
             init = (stats, assignments, boundaries, key,
                     jnp.zeros((), dtype=dtype))
-            (stats, assignments, boundaries, key, lp_total), _ = jax.lax.scan(
-                f, init, blocks
+            ((stats, assignments, boundaries, key, lp_total),
+             updates) = jax.lax.scan(f, init, blocks)
+            assignments = merge_sweep_assignments(
+                assignments, updates, lambda t: t
             )
             return stats, assignments, boundaries, key, lp_total
 

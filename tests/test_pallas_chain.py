@@ -757,3 +757,92 @@ def test_pick_b_tile_fixed_point_and_fit():
             grid2 = _round_up(B, bt2) // bt2
             bud2 = budget - (2.5 * 2 ** 20 if grid2 > strict else 0.0)
             assert shared + per_utt * bt2 > bud2
+
+
+def test_stats_T_entry_points_bit_match():
+    """The stats_T=True kernel entry points (feature-major [B, D, K] moment
+    tables, the production layout -- see leave_out_moments_T) must sample
+    bit-identical chains to the component-major stats_T=False calls: the
+    flag only skips the host-side swapaxes, the kernel math is unchanged
+    (round-4 advisor finding: this contract had no direct kernel-level
+    test).  Covers all four chain kernels that take the flag."""
+    from segmentalist_tpu.models import components_diag as dcov
+    from segmentalist_tpu.ops.pallas_chain import (
+        bigram_diag_chain, bigram_fixedvar_chain, diag_chain, fixedvar_chain)
+    from segmentalist_tpu.priors import NIW
+
+    rng = np.random.RandomState(21)
+    B, S, D, K = 5, 6, 4, 11
+    N = 40
+    X = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    counts = jnp.asarray(rng.randint(0, 5, (B, K)), jnp.int32)
+    sum_x = jnp.asarray(
+        (np.asarray(counts)[..., None] * rng.randn(B, K, D) * 0.2
+         ).astype(np.float32))
+    sum_sq = jnp.asarray(
+        (np.abs(np.asarray(counts)[..., None] * rng.randn(B, K, D)) + 0.5
+         + np.asarray(sum_x) ** 2 / np.maximum(np.asarray(counts), 1)[..., None]
+         ).astype(np.float32))
+    embeds = np.asarray(rng.randint(0, N, (B, S)), np.int32)
+    embeds[rng.rand(B, S) < 0.3] = -1
+    embeds = jnp.asarray(embeds)
+    gumb = jax.random.gumbel(jax.random.PRNGKey(2), (B, S, K), jnp.float32)
+    Xe = X[jnp.maximum(embeds, 0)]
+    fprior = FixedVarPrior.create(
+        0.1 * np.ones(D, np.float32), np.zeros(D, np.float32),
+        np.ones(D, np.float32))
+    nprior = NIW.create(np.zeros(D, np.float32), 1.5, 5.0,
+                        0.4 * np.ones(D, np.float32))
+    lpe_f = cov.log_prior_batch(fprior, X)[jnp.maximum(embeds, 0)]
+    lpe_d = dcov.log_prior_batch(nprior, X)[jnp.maximum(embeds, 0)]
+    sum_xT = jnp.swapaxes(sum_x, 1, 2)
+    sum_sqT = jnp.swapaxes(sum_sq, 1, 2)
+
+    a = fixedvar_chain(embeds, Xe, lpe_f, gumb, counts, sum_x,
+                       fprior.var, fprior.var_0, fprior.mu_0, 1.0,
+                       alpha=1.0, K=K, lms=1.1, interpret=True)
+    b = fixedvar_chain(embeds, Xe, lpe_f, gumb, counts, sum_xT,
+                       fprior.var, fprior.var_0, fprior.mu_0, 1.0,
+                       alpha=1.0, K=K, lms=1.1, interpret=True, stats_T=True)
+    npt.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    a = diag_chain(embeds, Xe, lpe_d, gumb, counts, sum_x, sum_sq,
+                   nprior.m_0, float(nprior.k_0), float(nprior.v_0),
+                   nprior.S_0, 1.0, alpha=1.0, K=K, lms=1.1, interpret=True)
+    b = diag_chain(embeds, Xe, lpe_d, gumb, counts, sum_xT, sum_sqT,
+                   nprior.m_0, float(nprior.k_0), float(nprior.v_0),
+                   nprior.S_0, 1.0, alpha=1.0, K=K, lms=1.1, interpret=True,
+                   stats_T=True)
+    npt.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Bigram LM tables, consistent by construction: the utterance's own
+    # correction pairs are counted in the global table.
+    uni_lo = jnp.asarray(rng.randint(0, 9, (B, K)), jnp.int32)
+    corr_j = jnp.asarray(rng.randint(-1, K, (B, S)), jnp.int32)
+    corr_i = jnp.asarray(rng.randint(-1, K, (B, S)), jnp.int32)
+    big = np.asarray(rng.randint(0, 5, (K, K)), np.int32)
+    cj, ci = np.asarray(corr_j), np.asarray(corr_i)
+    m = (cj >= 0) & (ci >= 0)
+    np.add.at(big, (cj[m], ci[m]), 1)
+    big = jnp.asarray(big)
+    bkw = dict(alpha_a=1.0, intrp_lambda=0.2, b_smooth=1.5, K=K, lms=1.0,
+               interpret=True)
+
+    a = bigram_fixedvar_chain(embeds, Xe, lpe_f, gumb, counts, sum_x,
+                              fprior.var, fprior.var_0, fprior.mu_0, 1.0,
+                              uni_lo, big, corr_j, corr_i, **bkw)
+    b = bigram_fixedvar_chain(embeds, Xe, lpe_f, gumb, counts, sum_xT,
+                              fprior.var, fprior.var_0, fprior.mu_0, 1.0,
+                              uni_lo, big, corr_j, corr_i, stats_T=True,
+                              **bkw)
+    npt.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    a = bigram_diag_chain(embeds, Xe, lpe_d, gumb, counts, sum_x, sum_sq,
+                          nprior.m_0, float(nprior.k_0), float(nprior.v_0),
+                          nprior.S_0, 1.0, uni_lo, big, corr_j, corr_i,
+                          **bkw)
+    b = bigram_diag_chain(embeds, Xe, lpe_d, gumb, counts, sum_xT, sum_sqT,
+                          nprior.m_0, float(nprior.k_0), float(nprior.v_0),
+                          nprior.S_0, 1.0, uni_lo, big, corr_j, corr_i,
+                          stats_T=True, **bkw)
+    npt.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -252,8 +252,10 @@ def test_diag_log_margs_T_matches_untransposed():
 
     sum_xT, sum_sqT = leave_out_moments_T(gstats, X, embeds, ks, K,
                                           with_sq=True)
-    muT, inv_varT, v = cdg.predictive_params_T(prior, lo.counts, sum_xT,
-                                               sum_sqT)
+    muT, inv_varT, lpv, v = cdg.predictive_params_T(prior, lo.counts, sum_xT,
+                                                    sum_sqT)
+    # The constant is computed from var itself: bit-match to the non-T path.
+    npt.assert_array_equal(np.asarray(lpv), np.asarray(params.log_prod_var))
     npt.assert_allclose(np.asarray(muT),
                         np.asarray(jnp.swapaxes(params.mu, 1, 2)),
                         rtol=1e-10, atol=1e-12)
@@ -270,7 +272,7 @@ def test_diag_log_margs_T_matches_untransposed():
     ref = diag_log_margs(Xc, prior_c, params.mu, params.inv_var,
                          params.log_prod_var, params.v, w, lo.counts,
                          K=K, interpret=True)
-    got = diag_log_margs_T(Xc, prior_c, muT, inv_varT, v, w, lo.counts,
+    got = diag_log_margs_T(Xc, prior_c, muT, inv_varT, lpv, v, w, lo.counts,
                            K=K, interpret=True)
     npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
                         atol=1e-10)
