@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,18 +37,61 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(-jnp.inf)
 _LOG_2PI = math.log(2.0 * math.pi)
 
+# Candidate-tile size when a valid-prefix bound is supplied (see
+# ``_prefix_plan``); env override for hardware tile sweeps.
+_SCORE_M_TILE = int(os.environ.get("SEGTPU_SCORE_MT", "40"))
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _score_tiling(M: int, B: int, n_k_temps: int, D_pad: int, K_pad: int):
+def _prefix_plan(valid_m, B: int, M: int, M_tile: int, M_pad: int,
+                 B_tile: int, B_pad: int, arrays):
+    """Length-sorted utterance tiles + per-tile candidate-prefix bounds.
+
+    The drivers lay candidates out as ``m = t * W + w`` with slot (t, w)
+    valid only for ``t < N_u``, so an utterance's valid candidates are a
+    PREFIX of length ``valid_m[u] = N_u * W``.  Utterances average about
+    half the static ``N_max`` bound, so with corpus-ordered tiles every
+    (utterance-tile, candidate-tile) program pays the block's tail max.
+    Sorting utterances by prefix length (exact: each utterance's scores are
+    independent) makes tiles length-homogeneous, and the kernels skip
+    candidate tiles past the tile's own bound (the same trick as the chain
+    kernels' dynamic step bounds, ``pallas_chain._tile_step_bounds``).
+
+    Returns ``(inv, tile_max, arrays)``: the inverse permutation to unsort
+    the [B, M] output rows, the [n_btiles, 1] int32 per-tile bound (SMEM
+    scalars), and every [B, ...] input sorted along axis 0.  With
+    ``valid_m=None`` the plan is a no-op bound of ``M`` on every tile.
+    """
+    n_bt = B_pad // B_tile
+    if valid_m is None:
+        return None, jnp.full((n_bt, 1), M, jnp.int32), arrays
+    vm = jnp.minimum(valid_m.astype(jnp.int32), M)
+    perm = jnp.argsort(-vm)
+    inv = jnp.argsort(perm)
+    arrays = tuple(a[perm] for a in arrays)
+    vm_pad = jnp.pad(vm[perm], (0, B_pad - B))
+    tile_max = jnp.max(vm_pad.reshape(n_bt, B_tile), axis=1)[:, None]
+    return inv, tile_max, arrays
+
+
+def _score_tiling(M: int, B: int, n_k_temps: int, D_pad: int, K_pad: int,
+                  prefix: bool = False):
     """(M_tile, M_pad, B_tile, B_pad) such that the per-program footprint
     (the [M_t, K_pad] working tiles, which Mosaic does not reuse across the
     utterance loop's iterations, plus per-utterance inputs) stays within a
     ~12 MB scoped-VMEM budget: long utterances make M = N_max * W large
-    enough that an untiled candidate axis OOMs the 16 MB limit."""
-    M_t = _round_up(M, 8) if M <= 256 else 128
+    enough that an untiled candidate axis OOMs the 16 MB limit.
+
+    ``prefix=True`` (a ``valid_m`` bound was supplied) picks a finer
+    candidate tile so whole tiles past each utterance tile's valid prefix
+    can be skipped (``_prefix_plan``)."""
+    if prefix:
+        M_t = min(_round_up(M, 8), _round_up(_SCORE_M_TILE, 8))
+    else:
+        M_t = _round_up(M, 8) if M <= 256 else 128
     M_pad = _round_up(_round_up(M, 8), M_t)
     budget = 12 * 2 ** 20
     tile_fixed = 4.0 * n_k_temps * M_t * K_pad * 2.2
@@ -59,7 +103,8 @@ def _score_tiling(M: int, B: int, n_k_temps: int, D_pad: int, K_pad: int):
 
 
 def _fixedvar_dispatch(Xc, prior_c, precT_u, mpT_u, const_u, log_prod,
-                       wvec, counts, K: int, interpret: bool):
+                       wvec, counts, K: int, interpret: bool,
+                       valid_m=None):
     """Shared pallas_call for the fixed-variance scorer; parameter tables
     arrive already feature-major (``precT_u``/``mpT_u`` [B, D, K],
     ``const_u`` [B, K])."""
@@ -67,7 +112,12 @@ def _fixedvar_dispatch(Xc, prior_c, precT_u, mpT_u, const_u, log_prod,
     dtype = Xc.dtype
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
-    M_tile, M_pad, B_tile, B_pad = _score_tiling(M, B, 2, D_pad, K_pad)
+    M_tile, M_pad, B_tile, B_pad = _score_tiling(
+        M, B, 2, D_pad, K_pad, prefix=valid_m is not None)
+    inv_b, tile_max, (Xc, prior_c, precT_u, mpT_u, const_u, log_prod,
+                      wvec, counts) = _prefix_plan(
+        valid_m, B, M, M_tile, M_pad, B_tile, B_pad,
+        (Xc, prior_c, precT_u, mpT_u, const_u, log_prod, wvec, counts))
 
     def bpad(a, fill=0):
         return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
@@ -90,34 +140,42 @@ def _fixedvar_dispatch(Xc, prior_c, precT_u, mpT_u, const_u, log_prod,
     lp_in = bpad(jnp.pad(log_prod.astype(dtype),
                          ((0, 0), (0, K_pad - K)))[:, None, :])
 
-    def kernel(xq_ref, pc_ref, precT_ref, mpT_ref, const_ref, w_ref,
-               cnt_ref, lp_ref, out_ref):
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
-        real = lane_k < K
-        for u in range(B_tile):
-            x = xq_ref[u]                      # [M_tile, D_pad]
-            maha = (
-                jax.lax.dot_general(
-                    x * x, precT_ref[u], (((1,), (0,)), ((), ())),
-                    preferred_element_type=dtype,
+    def kernel(mm_ref, xq_ref, pc_ref, precT_ref, mpT_ref, const_ref,
+               w_ref, cnt_ref, lp_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j * M_tile < mm_ref[pl.program_id(0), 0])
+        def _compute():
+            lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
+            real = lane_k < K
+            for u in range(B_tile):
+                x = xq_ref[u]                      # [M_tile, D_pad]
+                maha = (
+                    jax.lax.dot_general(
+                        x * x, precT_ref[u], (((1,), (0,)), ((), ())),
+                        preferred_element_type=dtype,
+                    )
+                    - 2.0 * jax.lax.dot_general(
+                        x, mpT_ref[u], (((1,), (0,)), ((), ())),
+                        preferred_element_type=dtype,
+                    )
+                    + const_ref[u]
+                )                                  # [M_tile, K_pad]
+                post = -0.5 * D * _LOG_2PI + 0.5 * lp_ref[u] - 0.5 * maha
+                logits = w_ref[u] + jnp.where(
+                    cnt_ref[u] > 0.0, post, pc_ref[u]
                 )
-                - 2.0 * jax.lax.dot_general(
-                    x, mpT_ref[u], (((1,), (0,)), ((), ())),
-                    preferred_element_type=dtype,
+                logits = jnp.where(real, logits, NEG_INF)
+                m = jnp.max(logits, axis=1, keepdims=True)
+                m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+                s = jnp.sum(jnp.exp(logits - m_safe), axis=1, keepdims=True)
+                out_ref[u] = jnp.where(
+                    jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
                 )
-                + const_ref[u]
-            )                                  # [M_tile, K_pad]
-            post = -0.5 * D * _LOG_2PI + 0.5 * lp_ref[u] - 0.5 * maha
-            logits = w_ref[u] + jnp.where(
-                cnt_ref[u] > 0.0, post, pc_ref[u]
-            )
-            logits = jnp.where(real, logits, NEG_INF)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-            s = jnp.sum(jnp.exp(logits - m_safe), axis=1, keepdims=True)
-            out_ref[u] = jnp.where(
-                jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
-            )
+
+        @pl.when(j * M_tile >= mm_ref[pl.program_id(0), 0])
+        def _skip():  # dead prefix tail: every slot is masked downstream
+            out_ref[...] = jnp.full((B_tile, M_tile, 1), NEG_INF, dtype)
 
     # Grid: utterance tiles (slow axis) x candidate tiles (fast axis); the
     # parameter blocks index only the utterance axis, so Mosaic keeps them
@@ -128,6 +186,8 @@ def _fixedvar_dispatch(Xc, prior_c, precT_u, mpT_u, const_u, log_prod,
         kernel,
         grid=(B_pad // B_tile, M_pad // M_tile),
         in_specs=[
+            pl.BlockSpec((B_pad // B_tile, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((B_tile, M_tile, D_pad), bm,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=pltpu.VMEM),
@@ -144,13 +204,15 @@ def _fixedvar_dispatch(Xc, prior_c, precT_u, mpT_u, const_u, log_prod,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
         interpret=interpret,
-    )(xq, pc_in, precT, mpT, const, w_in, cnt_in, lp_in)
-    return out[:B, :M, 0]
+    )(tile_max, xq, pc_in, precT, mpT, const, w_in, cnt_in, lp_in)
+    out = out[:B, :M, 0]
+    return out if inv_b is None else out[inv_b]
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
 def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
-                       counts, K: int, interpret: bool = False):
+                       counts, K: int, interpret: bool = False,
+                       valid_m=None):
     """[B, M] collapsed candidate log marginals.
 
     Parameters
@@ -164,17 +226,22 @@ def fixedvar_log_margs(Xc, prior_c, mu_pred, prec_pred, log_prod, wvec,
     log_prod : [B, K] sum_d log prec_pred.
     wvec : [B, K] mixture-weight term incl. denominator (log_weights).
     counts : [B, K] leave-one-out member counts.
+    valid_m : optional [B] int32 -- each utterance's valid-candidate PREFIX
+        length (``N_u * W``); candidate tiles past it are skipped and
+        return NEG_INF (``_prefix_plan``).  Valid-slot scores are
+        bit-identical to the unbounded call.
     """
     mp = mu_pred * prec_pred
     return _fixedvar_dispatch(
         Xc, prior_c, jnp.swapaxes(prec_pred, 1, 2), jnp.swapaxes(mp, 1, 2),
         jnp.sum(mu_pred * mp, -1), log_prod, wvec, counts, K, interpret,
+        valid_m,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
 def fixedvar_log_margs_T(Xc, prior_c, mu_predT, prec_predT, wvec, counts,
-                         K: int, interpret: bool = False):
+                         K: int, interpret: bool = False, valid_m=None):
     """:func:`fixedvar_log_margs` with feature-major parameter tables
     (``mu_predT``/``prec_predT`` [B, D, K], e.g. from
     ``components_fixedvar.predictive_params_T``): the derived tables the
@@ -185,11 +252,12 @@ def fixedvar_log_margs_T(Xc, prior_c, mu_predT, prec_predT, wvec, counts,
     return _fixedvar_dispatch(
         Xc, prior_c, prec_predT, mpT, jnp.sum(mu_predT * mpT, axis=-2),
         jnp.sum(jnp.log(prec_predT), axis=-2), wvec, counts, K, interpret,
+        valid_m,
     )
 
 
 def _diag_dispatch(Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec,
-                   counts, K: int, interpret: bool):
+                   counts, K: int, interpret: bool, valid_m=None):
     """Shared pallas_call for the diag scorer; parameter tables arrive
     already feature-major (``muT_u``/``ivvT_u`` [B, D, K], with ``ivvT_u``
     = inv_var / v)."""
@@ -199,7 +267,12 @@ def _diag_dispatch(Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec,
     dtype = Xc.dtype
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
-    M_tile, M_pad, B_tile, B_pad = _score_tiling(M, B, 3, D_pad, K_pad)
+    M_tile, M_pad, B_tile, B_pad = _score_tiling(
+        M, B, 3, D_pad, K_pad, prefix=valid_m is not None)
+    inv_b, tile_max, (Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec,
+                      counts) = _prefix_plan(
+        valid_m, B, M, M_tile, M_pad, B_tile, B_pad,
+        (Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec, counts))
 
     def bpad(a, fill=0):
         return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
@@ -227,42 +300,52 @@ def _diag_dispatch(Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec,
     w_in = vecpad(wvec)
     cnt_in = vecpad(counts)
 
-    def kernel(xq_ref, pc_ref, muT_ref, ivvT_ref, const_ref, vh_ref,
+    def kernel(mm_ref, xq_ref, pc_ref, muT_ref, ivvT_ref, const_ref, vh_ref,
                w_ref, cnt_ref, out_ref):
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
-        real = lane_k < K
-        for u in range(B_tile):
-            x = xq_ref[u]                          # [M_tile, D_pad]
-            # Sum of per-dimension log1p as a log of grouped products:
-            # each factor 1 + delta^2 * ivv >= 1, so a 4-dim group product
-            # stays in f32 range unless a single dim reaches ~1e9 (3e4
-            # sigma); one transcendental per GROUP instead of per dim cuts
-            # the kernel's dominant cost ~3x (log1p over [M, K] x D was
-            # ~1.6G evaluations per flagship-scale sweep).  Hardware
-            # deviation vs the exact composition is ~3.3e-3 (Mosaic log
-            # error amplified by (v+1)/2 at large counts): fine for the
-            # logsumexp'ed sampled marginals, but deterministic-argmax
-            # consumers must not use this kernel -- the unigram driver
-            # gates it off in Viterbi mode.
-            acc = jnp.zeros((M_tile, K_pad), dtype)
-            for d0 in range(0, D, 4):
-                prod = jnp.ones((M_tile, K_pad), dtype)
-                for d in range(d0, min(d0 + 4, D)):
-                    xd = x[:, d:d + 1]             # [M_pad, 1]
-                    mud = muT_ref[u][d:d + 1, :]   # [1, K_pad]
-                    ivvd = ivvT_ref[u][d:d + 1, :]
-                    delta = xd - mud
-                    prod = prod * (1.0 + delta * delta * ivvd)
-                acc = acc + jnp.log(prod)
-            post = const_ref[u] - vh_ref[u] * acc
-            logits = w_ref[u] + jnp.where(cnt_ref[u] > 0.0, post, pc_ref[u])
-            logits = jnp.where(real, logits, NEG_INF)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-            s = jnp.sum(jnp.exp(logits - m_safe), axis=1, keepdims=True)
-            out_ref[u] = jnp.where(
-                jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
-            )
+        j = pl.program_id(1)
+
+        @pl.when(j * M_tile < mm_ref[pl.program_id(0), 0])
+        def _compute():
+            lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
+            real = lane_k < K
+            for u in range(B_tile):
+                x = xq_ref[u]                          # [M_tile, D_pad]
+                # Sum of per-dimension log1p as a log of grouped products:
+                # each factor 1 + delta^2 * ivv >= 1, so a 4-dim group
+                # product stays in f32 range unless a single dim reaches
+                # ~1e9 (3e4 sigma); one transcendental per GROUP instead of
+                # per dim cuts the kernel's dominant cost ~3x (log1p over
+                # [M, K] x D was ~1.6G evaluations per flagship-scale
+                # sweep).  Hardware deviation vs the exact composition is
+                # ~3.3e-3 (Mosaic log error amplified by (v+1)/2 at large
+                # counts): fine for the logsumexp'ed sampled marginals, but
+                # deterministic-argmax consumers must not use this kernel
+                # -- the unigram driver gates it off in Viterbi mode.
+                acc = jnp.zeros((M_tile, K_pad), dtype)
+                for d0 in range(0, D, 4):
+                    prod = jnp.ones((M_tile, K_pad), dtype)
+                    for d in range(d0, min(d0 + 4, D)):
+                        xd = x[:, d:d + 1]             # [M_pad, 1]
+                        mud = muT_ref[u][d:d + 1, :]   # [1, K_pad]
+                        ivvd = ivvT_ref[u][d:d + 1, :]
+                        delta = xd - mud
+                        prod = prod * (1.0 + delta * delta * ivvd)
+                    acc = acc + jnp.log(prod)
+                post = const_ref[u] - vh_ref[u] * acc
+                logits = w_ref[u] + jnp.where(
+                    cnt_ref[u] > 0.0, post, pc_ref[u]
+                )
+                logits = jnp.where(real, logits, NEG_INF)
+                m = jnp.max(logits, axis=1, keepdims=True)
+                m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+                s = jnp.sum(jnp.exp(logits - m_safe), axis=1, keepdims=True)
+                out_ref[u] = jnp.where(
+                    jnp.isneginf(m), NEG_INF, jnp.log(s) + m_safe
+                )
+
+        @pl.when(j * M_tile >= mm_ref[pl.program_id(0), 0])
+        def _skip():  # dead prefix tail: every slot is masked downstream
+            out_ref[...] = jnp.full((B_tile, M_tile, 1), NEG_INF, dtype)
 
     bm = lambda i, j: (i, j, 0)  # noqa: E731
     bu = lambda i, j: (i, 0, 0)  # noqa: E731
@@ -270,6 +353,8 @@ def _diag_dispatch(Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec,
         kernel,
         grid=(B_pad // B_tile, M_pad // M_tile),
         in_specs=[
+            pl.BlockSpec((B_pad // B_tile, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((B_tile, M_tile, D_pad), bm,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=pltpu.VMEM),
@@ -286,13 +371,14 @@ def _diag_dispatch(Xc, prior_c, muT_u, ivvT_u, log_prod_var, v, wvec,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
         interpret=interpret,
-    )(xq, pc_in, muT, ivvT, const, vh, w_in, cnt_in)
-    return out[:B, :M, 0]
+    )(tile_max, xq, pc_in, muT, ivvT, const, vh, w_in, cnt_in)
+    out = out[:B, :M, 0]
+    return out if inv_b is None else out[inv_b]
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
 def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
-                   counts, K: int, interpret: bool = False):
+                   counts, K: int, interpret: bool = False, valid_m=None):
     """[B, M] collapsed candidate log marginals, diagonal-covariance backend.
 
     The product-of-univariate-Student-t predictive
@@ -312,13 +398,13 @@ def diag_log_margs(Xc, prior_c, mu, inv_var, log_prod_var, v, wvec,
     return _diag_dispatch(
         Xc, prior_c, jnp.swapaxes(mu, 1, 2),
         jnp.swapaxes(inv_var / v[..., None], 1, 2),
-        log_prod_var, v, wvec, counts, K, interpret,
+        log_prod_var, v, wvec, counts, K, interpret, valid_m,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
 def diag_log_margs_T(Xc, prior_c, muT, inv_varT, log_prod_var, v, wvec,
-                     counts, K: int, interpret: bool = False):
+                     counts, K: int, interpret: bool = False, valid_m=None):
     """:func:`diag_log_margs` with feature-major parameter tables
     (``muT``/``inv_varT`` [B, D, K], e.g. from
     ``components_diag.predictive_params_T``); the v-scaled inverse variance
@@ -328,14 +414,15 @@ def diag_log_margs_T(Xc, prior_c, muT, inv_varT, log_prod_var, v, wvec,
     reciprocal) so the constant bit-matches the non-T path."""
     return _diag_dispatch(
         Xc, prior_c, muT, inv_varT / v[:, None, :],
-        log_prod_var, v, wvec, counts, K, interpret,
+        log_prod_var, v, wvec, counts, K, interpret, valid_m,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
 def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
                       t_A2, t_A1, t_a0, t_ck, t_vinv, t_vh, t_oh, tmask,
-                      wvec, counts, K: int, interpret: bool = False):
+                      wvec, counts, K: int, interpret: bool = False,
+                      valid_m=None):
     """[B, M] collapsed candidate log marginals, full-covariance backend,
     with the exact touched-column corrections applied in-kernel.
 
@@ -360,7 +447,11 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
 
     Parameters
     ----------
-    g_* : global-parameter tables -- A2 [K, D*D] (inverse predictive scale),
+    g_* : global-parameter tables -- A2 [K, D*D] (inverse predictive scale)
+        or SYMMETRIC-PACKED [K, D*(D+1)/2] (upper triangle row-major with
+        off-diagonals doubled, ``segmenters.fullcov.fullcov_score_inputs``:
+        x^T A x == xx_packed @ A2_packed since A is symmetric -- 169 -> 91
+        contraction lanes at D=13, ~1.8x off the dominant HIGHEST matmul),
         A1 [K, D] (invC @ mu), a0/ck/vinv/vh [K] (constant, Student-t
         constant, 1/v, (v+D)/2).
     t_* : per-utterance touched-slot tables, [B, S, ...] / [B, S].
@@ -368,7 +459,9 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
     tmask : [B, K] union of the one-hot rows.
     """
     B, M, D = Xc.shape
-    DD = D * D
+    DD = g_A2.shape[-1]
+    packed = DD == D * (D + 1) // 2
+    assert packed or DD == D * D, (DD, D)
     S = t_A1.shape[1]
     dtype = Xc.dtype
     D_pad = _round_up(max(D, 8), 8)
@@ -383,7 +476,10 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
     # and pinned B_tile at 2 -> ~63 sequential grid programs per block, each
     # paying its pipeline prologue (round-5 profile: the kernel ran at ~25%
     # of its HIGHEST-matmul floor).
-    M_tile = _round_up(M, 8) if M <= 256 else 128
+    if valid_m is not None:
+        M_tile = min(_round_up(M, 8), _round_up(_SCORE_M_TILE, 8))
+    else:
+        M_tile = _round_up(M, 8) if M <= 256 else 128
     M_pad = _round_up(_round_up(M, 8), M_tile)
     budget = 12 * 2 ** 20
     shared = 4.0 * ((DD_pad + D_pad) * K_pad + 6 * K_pad) * 1.2
@@ -395,7 +491,15 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
     while B_tile > 1 and shared + tile_fixed + per_utt * B_tile > budget:
         B_tile //= 2
     B_tile = max(B_tile, 1)
+    import os as _os  # tuning hook for benchmarks/kernel experiments
+
+    B_tile = int(_os.environ.get("SEGTPU_FULLCOV_SCORE_BT", B_tile))
     B_pad = _round_up(B, B_tile)
+    inv_b, tile_max, (Xc, prior_c, t_A2, t_A1, t_a0, t_ck, t_vinv, t_vh,
+                      t_oh, tmask, wvec, counts) = _prefix_plan(
+        valid_m, B, M, M_tile, M_pad, B_tile, B_pad,
+        (Xc, prior_c, t_A2, t_A1, t_a0, t_ck, t_vinv, t_vh, t_oh, tmask,
+         wvec, counts))
 
     def bpad(a, fill=0):
         return jnp.pad(a, ((0, B_pad - B),) + ((0, 0),) * (a.ndim - 1),
@@ -438,16 +542,39 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
     cnt_in = bpad(jnp.pad(counts.astype(dtype),
                           ((0, 0), (0, K_pad - K)))[:, None, :])
 
-    def kernel(xq_ref, pc_ref, gA2_ref, gA1_ref, ga0_ref, gck_ref,
+    def kernel(mm_ref, xq_ref, pc_ref, gA2_ref, gA1_ref, ga0_ref, gck_ref,
                gvinv_ref, gvh_ref, tA2_ref, tA1_ref, ta0_ref, tck_ref,
                tvinv_ref, tvh_ref, oh_ref, tm_ref, w_ref, cnt_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j * M_tile >= mm_ref[pl.program_id(0), 0])
+        def _skip():  # dead prefix tail: every slot is masked downstream
+            out_ref[...] = jnp.full((B_tile, M_tile, 1), NEG_INF, dtype)
+
+        @pl.when(j * M_tile < mm_ref[pl.program_id(0), 0])
+        def _compute():
+            _kernel_body(xq_ref, pc_ref, gA2_ref, gA1_ref, ga0_ref, gck_ref,
+                         gvinv_ref, gvh_ref, tA2_ref, tA1_ref, ta0_ref,
+                         tck_ref, tvinv_ref, tvh_ref, oh_ref, tm_ref, w_ref,
+                         cnt_ref, out_ref)
+
+    def _kernel_body(xq_ref, pc_ref, gA2_ref, gA1_ref, ga0_ref, gck_ref,
+                     gvinv_ref, gvh_ref, tA2_ref, tA1_ref, ta0_ref, tck_ref,
+                     tvinv_ref, tvh_ref, oh_ref, tm_ref, w_ref, cnt_ref,
+                     out_ref):
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, K_pad), 1)
         real = lane_k < K
         for u in range(B_tile):
             x = xq_ref[u]                              # [M_t, D_pad]
-            # xx[m, d*D+e] = x[m, d] x[m, e], static lane blocks.
-            xx = jnp.concatenate(
-                [x[:, d:d + 1] * x[:, :D] for d in range(D)], axis=1)
+            # Outer-product lanes from static lane blocks: full layout
+            # xx[m, d*D+e] = x[m, d] x[m, e]; packed layout keeps only
+            # e >= d (the tables carry the off-diagonal 2x).
+            if packed:
+                xx = jnp.concatenate(
+                    [x[:, d:d + 1] * x[:, d:D] for d in range(D)], axis=1)
+            else:
+                xx = jnp.concatenate(
+                    [x[:, d:d + 1] * x[:, :D] for d in range(D)], axis=1)
             xx = jnp.pad(xx, ((0, 0), (0, DD_pad - DD)))
 
             def maha_of(A2T, A1T, a0, prec):
@@ -504,6 +631,8 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
         kernel,
         grid=(B_pad // B_tile, M_pad // M_tile),
         in_specs=[
+            pl.BlockSpec((B_pad // B_tile, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((B_tile, M_tile, D_pad), bm, memory_space=vm),
             pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=vm),
             pl.BlockSpec((DD_pad, K_pad), sh, memory_space=vm),
@@ -526,6 +655,7 @@ def fullcov_log_margs(Xc, prior_c, g_A2, g_A1, g_a0, g_ck, g_vinv, g_vh,
         out_specs=pl.BlockSpec((B_tile, M_tile, 1), bm, memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((B_pad, M_pad, 1), dtype),
         interpret=interpret,
-    )(xq, pc_in, gA2T, gA1T, ga0, gck, gvinv, gvh, tA2T, tA1T, ta0, tck,
-      tvinv, tvh, oh_in, tm_in, w_in, cnt_in)
-    return out[:B, :M, 0]
+    )(tile_max, xq, pc_in, gA2T, gA1T, ga0, gck, gvinv, gvh, tA2T, tA1T,
+      ta0, tck, tvinv, tvh, oh_in, tm_in, w_in, cnt_in)
+    out = out[:B, :M, 0]
+    return out if inv_b is None else out[inv_b]

@@ -1046,6 +1046,7 @@ class BigramAcousticWordseg:
                         Xc.reshape(B, N_max * W_dp, -1), prior_c, *g, *t,
                         oh_t, tmask_t, w_b, lo_counts, K=K_max,
                         interpret=jax.default_backend() != "tpu",
+                        valid_m=lengths_blk * W_dp,
                     ).reshape(B, N_max, W_dp)
                 elif post is None and pallas and cov_type == "fixed":
                     # Fused scoring: the [B, M, K] logits tile never leaves
@@ -1057,9 +1058,14 @@ class BigramAcousticWordseg:
                     muT, precT = cov.predictive_params_T(
                         prior, lo_counts, sum_xT
                     )
+                    # Prefix skip only for long candidate axes (see the
+                    # unigram driver: at M=120 the sort overhead outweighs
+                    # the ~0.4 ms fixedvar scorer stage).
+                    vm = lengths_blk * W_dp if N_max * W_dp > 256 else None
                     log_margs = fixedvar_log_margs_T(
                         Xc, prior_c, muT, precT, w_b, lo_counts, K=K_max,
                         interpret=jax.default_backend() != "tpu",
+                        valid_m=vm,
                     ).reshape(B, N_max, W_dp)
                 elif post is None and pallas and cov_type == "diag":
                     # Diag fused scoring, LM unigram weights as the
@@ -1074,6 +1080,7 @@ class BigramAcousticWordseg:
                         Xc, prior_c, muT, inv_varT, lpv_b, v_b, w_b,
                         lo_counts, K=K_max,
                         interpret=jax.default_backend() != "tpu",
+                        valid_m=lengths_blk * W_dp,
                     ).reshape(B, N_max, W_dp)
                 else:
                     if post is None:

@@ -196,12 +196,16 @@ def corrected_candidate_post(post, Xc, touched: Touched, K_max: int) -> Array:
 
 def fullcov_score_inputs(params_g, touched: Touched):
     """Student-t tables for ``ops.pallas_score.fullcov_log_margs``: the
-    global-parameter tables (A2 = inverse predictive scale flattened,
-    A1 = invC @ mu, the scalar constants with EXACT gammaln) and the same
-    per-touched-slot, plus the slot one-hot scatter rows."""
+    global-parameter tables (A2 = inverse predictive scale SYMMETRIC-PACKED
+    -- upper triangle row-major, off-diagonals doubled, so
+    x^T A x = xx_packed @ A2_packed with D*(D+1)/2 contraction lanes instead
+    of D*D -- A1 = invC @ mu, the scalar constants with EXACT gammaln) and
+    the same per-touched-slot, plus the slot one-hot scatter rows."""
     from jax.scipy.special import gammaln
 
     D = params_g.mu.shape[-1]
+    iu = jnp.triu_indices(D)
+    dbl = jnp.where(iu[0] == iu[1], 1.0, 2.0)
 
     def tables(p):
         A1 = jnp.einsum("...de,...e->...d", p.inv_covar, p.mu,
@@ -212,7 +216,7 @@ def fullcov_score_inputs(params_g, touched: Touched):
             - 0.5 * D * (jnp.log(p.v) + jnp.log(jnp.pi))
             - 0.5 * p.logdet_covar
         )
-        A2 = p.inv_covar.reshape(p.inv_covar.shape[:-2] + (D * D,))
+        A2 = p.inv_covar[..., iu[0], iu[1]] * dbl.astype(p.inv_covar.dtype)
         return A2, A1, a0, ck, 1.0 / p.v, (p.v + D) / 2.0
 
     g = tables(params_g)

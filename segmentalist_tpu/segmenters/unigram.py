@@ -908,7 +908,7 @@ class UnigramAcousticWordseg:
                     log_margs = fullcov_log_margs(
                         Xc.reshape(B, N_max * W_dp, -1), prior_c, *g, *t,
                         oh_t, tmask_t, w_b, lo_counts, K=K_max,
-                        interpret=interp,
+                        interpret=interp, valid_m=lengths_blk * W_dp,
                     ).reshape(B, N_max, W_dp)
                 elif cov_type == "fixed":
                     from ..ops.pallas_score import fixedvar_log_margs_T
@@ -916,9 +916,16 @@ class UnigramAcousticWordseg:
                     muT, precT = cov.predictive_params_T(
                         prior, lo_counts, sum_xT
                     )
+                    # Prefix skip only when the candidate axis is long
+                    # enough to amortize the length-sort gathers + finer
+                    # tiling: the fixedvar scorer is ~0.4 ms/sweep at
+                    # M=120 (flagship) where the overhead measured a net
+                    # loss (4.4 -> 4.6 ms/sweep), but wins at M=720
+                    # (N_max=120 long config).
+                    vm = lengths_blk * W_dp if N_max * W_dp > 256 else None
                     log_margs = fixedvar_log_margs_T(
                         Xc, prior_c, muT, precT, w_b, lo_counts, K=K_max,
-                        interpret=interp,
+                        interpret=interp, valid_m=vm,
                     ).reshape(B, N_max, W_dp)
                 else:
                     from ..ops.pallas_score import diag_log_margs_T
@@ -929,6 +936,7 @@ class UnigramAcousticWordseg:
                     log_margs = diag_log_margs_T(
                         Xc, prior_c, muT, inv_varT, lpv_b, v_b, w_b,
                         lo_counts, K=K_max, interpret=interp,
+                        valid_m=lengths_blk * W_dp,
                     ).reshape(B, N_max, W_dp)
             else:
                 logits = w_b[:, None, :] + jnp.where(

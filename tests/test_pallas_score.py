@@ -276,3 +276,101 @@ def test_diag_log_margs_T_matches_untransposed():
                            K=K, interpret=True)
     npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
                         atol=1e-10)
+
+
+def test_prefix_skip_matches_unbounded():
+    """valid_m (candidate-prefix bounds + length-sorted utterance tiles)
+    must leave every valid slot's score bit-identical to the unbounded
+    call; slots past the prefix are NEG_INF or garbage and always masked
+    downstream (common.masked_candidate_scores)."""
+    rng = np.random.RandomState(7)
+    B, M, D, K = 9, 100, 4, 11
+    prior = FixedVarPrior.create(0.1 * np.ones(D), np.zeros(D), np.ones(D))
+    counts = jnp.asarray(rng.randint(0, 3, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(rng.randn(B, K, D) * np.asarray(counts)[..., None])
+    sum_sq = jnp.zeros((B, K, D))
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cfv.log_prior_batch(prior, x))(Xc)
+    params = jax.vmap(lambda c, s, q: cfv.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(counts)
+    valid_m = jnp.asarray(rng.randint(4, M + 1, B), jnp.int32)
+    ref = fixedvar_log_margs(
+        Xc, prior_c, params.mu_pred, params.prec_pred, params.log_prod_prec,
+        w, counts, K=K, interpret=True)
+    got = fixedvar_log_margs(
+        Xc, prior_c, params.mu_pred, params.prec_pred, params.log_prod_prec,
+        w, counts, K=K, interpret=True, valid_m=valid_m)
+    ref_np, got_np = np.asarray(ref), np.asarray(got)
+    vm = np.asarray(valid_m)
+    for b in range(B):
+        npt.assert_array_equal(got_np[b, : vm[b]], ref_np[b, : vm[b]])
+
+
+def test_prefix_skip_diag_and_fullcov():
+    from segmentalist_tpu.models import components_diag as cdg
+    from segmentalist_tpu.models import components_full as cf
+    from segmentalist_tpu.ops.pallas_score import (
+        diag_log_margs, fullcov_log_margs)
+    from segmentalist_tpu.ops.stats import suff_stats_from_assignments
+    from segmentalist_tpu.priors import NIW
+    from segmentalist_tpu.segmenters.fullcov import (
+        counts_contrib, fullcov_score_inputs, touched_leave_out)
+
+    rng = np.random.RandomState(8)
+    B, M, D, K = 5, 90, 3, 9
+    prior = NIW.create(np.zeros(D), 1.0, 4.0, 0.5 * np.ones(D))
+    counts = jnp.asarray(rng.randint(0, 3, (B, K)), dtype=jnp.int32)
+    sum_x = jnp.asarray(rng.randn(B, K, D) * np.asarray(counts)[..., None])
+    sum_sq = jnp.asarray(
+        np.abs(rng.randn(B, K, D)) * np.asarray(counts)[..., None]
+        + np.asarray(sum_x) ** 2 / np.maximum(np.asarray(counts), 1)[..., None]
+    )
+    Xc = jnp.asarray(rng.randn(B, M, D))
+    prior_c = jax.vmap(lambda x: cdg.log_prior_batch(prior, x))(Xc)
+    params = jax.vmap(lambda c, s, q: cdg.predictive_params(
+        prior, SuffStats(counts=c, sum_x=s, sum_sq=q)))(counts, sum_x, sum_sq)
+    w = jax.vmap(lambda c: log_weights(c, 1.0, K, 1.0,
+                                       include_denominator=True,
+                                       dtype=Xc.dtype))(counts)
+    valid_m = jnp.asarray(rng.randint(4, M + 1, B), jnp.int32)
+    ref = diag_log_margs(
+        Xc, prior_c, params.mu, params.inv_var, params.log_prod_var,
+        params.v, w, counts, K=K, interpret=True)
+    got = diag_log_margs(
+        Xc, prior_c, params.mu, params.inv_var, params.log_prod_var,
+        params.v, w, counts, K=K, interpret=True, valid_m=valid_m)
+    ref_np, got_np, vm = np.asarray(ref), np.asarray(got), np.asarray(valid_m)
+    for b in range(B):
+        npt.assert_array_equal(got_np[b, : vm[b]], ref_np[b, : vm[b]])
+
+    # Full covariance (touched-slot corrections ride the sort too).
+    D2, K2, N, S = 4, 6, 40, 4
+    X = jnp.asarray(rng.randn(N, D2))
+    prior2 = NIW.create(np.zeros(D2), 1.0, D2 + 2.0,
+                        np.eye(D2) + 0.1 * np.ones((D2, D2)))
+    assignments = jnp.asarray(rng.randint(-1, K2 - 2, N), dtype=jnp.int32)
+    stats = suff_stats_from_assignments(X, assignments, K2, full_cov=True)
+    old_embeds = jnp.asarray(rng.randint(-1, N, (B, S)), jnp.int32)
+    old_ks = jnp.where(old_embeds >= 0,
+                       assignments[jnp.maximum(old_embeds, 0)], -1)
+    Xc2 = X[jnp.asarray(rng.randint(0, N, (B, M)), jnp.int32)]
+    prior_c2 = jax.vmap(lambda x: cf.log_prior_batch(prior2, x))(Xc2)
+    params_g = cf.predictive_params(prior2, stats)
+    touched = touched_leave_out(prior2, stats, X, old_embeds, old_ks)
+    lo_counts = stats.counts[None] - counts_contrib(
+        old_ks, old_embeds >= 0, K2)
+    w2 = jax.vmap(lambda c: log_weights(c, 1.0, K2, 1.0,
+                                        include_denominator=True,
+                                        dtype=Xc2.dtype))(lo_counts)
+    g, t, oh_t, tmask_t = fullcov_score_inputs(params_g, touched)
+    ref2 = fullcov_log_margs(Xc2, prior_c2, *g, *t, oh_t, tmask_t, w2,
+                             lo_counts, K=K2, interpret=True)
+    got2 = fullcov_log_margs(Xc2, prior_c2, *g, *t, oh_t, tmask_t, w2,
+                             lo_counts, K=K2, interpret=True,
+                             valid_m=valid_m)
+    ref_np, got_np = np.asarray(ref2), np.asarray(got2)
+    for b in range(B):
+        npt.assert_array_equal(got_np[b, : vm[b]], ref_np[b, : vm[b]])
