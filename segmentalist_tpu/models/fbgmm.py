@@ -32,6 +32,7 @@ from jax.scipy.special import gammaln
 
 from ..ops import random as rnd
 from ..ops.stats import (
+    decollide_new_items,
     SuffStats,
     add_item,
     canonicalize_new_component,
@@ -115,7 +116,8 @@ class FBGMM:
     """
 
     def __init__(self, X, prior, alpha, K, assignments="rand",
-                 covariance_type="full", lms=1.0, key: Optional[jax.Array] = None):
+                 covariance_type="full", lms=1.0, key: Optional[jax.Array] = None,
+                 decollide_new: bool = True):
         self.X = jnp.asarray(X)
         self.N, self.D = self.X.shape
         self.prior = prior
@@ -124,6 +126,7 @@ class FBGMM:
         self.covariance_type = covariance_type
         self.cov = cov_module(covariance_type)
         self.lms = float(lms)
+        self.decollide_new = bool(decollide_new)
         self.key = key if key is not None else jax.random.PRNGKey(0)
 
         self.setup_components(K, assignments, self.X)
@@ -572,6 +575,7 @@ class FBGMM:
         log_prior_vec = self.log_prior_vec
         full_cov = cov.FULL_COV
         N = X.shape[0]
+        decollide = getattr(self, "decollide_new", True)
 
         @jax.jit
         def sweep(stats, assignments, key, anneal_temp):
@@ -622,10 +626,18 @@ class FBGMM:
                 lambda kk, lg: rnd.annealed_gumbel_max(kk, lg, anneal_temp)
             )(keys, logits)
 
-            # Map empty-slot draws to the first empty slot (w.r.t. frozen counts).
-            k_new = jax.vmap(
-                lambda k: canonicalize_new_component(stats.counts, k)
-            )(k_new)
+            if decollide:
+                # Every simultaneous new-component draw gets its OWN empty
+                # slot (exchangeable relabeling; the first-empty birth rule
+                # fuses them all into one component under a blocked sweep —
+                # see ops.stats.decollide_new_items).
+                k_new = decollide_new_items(stats.counts, k_new)
+            else:
+                # Reference-shaped first-empty birth rule (fbgmm.py:391-393;
+                # the sequential mode's semantics, collision-prone here).
+                k_new = jax.vmap(
+                    lambda k: canonicalize_new_component(stats.counts, k)
+                )(k_new)
 
             keep_old = (~assigned) if not consider_unassigned else jnp.zeros(N, bool)
             new_assignments = jnp.where(keep_old, k_i, k_new.astype(jnp.int32))

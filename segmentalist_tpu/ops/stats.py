@@ -116,3 +116,29 @@ def first_empty_slot(counts: jnp.ndarray) -> jnp.ndarray:
 def canonicalize_new_component(counts: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Map a draw that landed on an empty slot to the first empty slot."""
     return jnp.where(counts[k] > 0, k, first_empty_slot(counts))
+
+
+def decollide_new_items(counts: jnp.ndarray, k_new: jnp.ndarray) -> jnp.ndarray:
+    """Give every item that drew an EMPTY slot its own distinct empty slot
+    (rank order by item index -> empty slots in index order).
+
+    The blocked per-item sweep draws all items against frozen counts; the
+    reference's birth rule (first empty slot, ``fbgmm.py:391-393``) is
+    correct for its sequential sampler but under a blocked sweep fuses
+    every simultaneous new-component draw into ONE component -- a merge
+    trap for non-adaptive covariances (see
+    ``segmenters.common.decollide_new_components`` for the segmenter-level
+    variant and the at-scale measurement).  Empty slots are exchangeable
+    (identical weight alpha/K), so this deterministic relabeling leaves the
+    per-item conditionals unchanged.  When creators outnumber empty slots
+    the overflow keeps its drawn slot (graceful saturation).
+    """
+    K = counts.shape[0]
+    empty = counts <= 0
+    is_new = empty[k_new]
+    rank = jnp.cumsum(is_new) - is_new
+    n_empty = jnp.sum(empty)
+    empty_order = jnp.argsort(jnp.where(empty, jnp.arange(K), K))
+    tgt = empty_order[jnp.minimum(rank, K - 1)]
+    return jnp.where(is_new & (rank < n_empty), tgt.astype(k_new.dtype),
+                     k_new)

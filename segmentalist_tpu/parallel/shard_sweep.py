@@ -93,7 +93,8 @@ def _prep(seg, mesh):
 def build_unigram_shard_sweep(seg, mesh: Mesh, axis: str = "data"):
     n, _, B_loc = _prep(seg, mesh)
     block_step = seg._make_block_step(
-        B_loc, pallas=True, reduce_fn=lambda t: jax.lax.psum(t, axis)
+        B_loc, pallas=True, reduce_fn=lambda t: jax.lax.psum(t, axis),
+        axis_name=axis,
     )
     dtype = seg.acoustic_model.X.dtype
 
@@ -140,7 +141,7 @@ def build_bigram_shard_sweep(seg, mesh: Mesh, assignments_only: bool,
     n, _, B_loc = _prep(seg, mesh)
     block_step = seg._make_block_step(
         B_loc, pallas=True, reduce_fn=lambda t: jax.lax.psum(t, axis),
-        assignments_only=assignments_only,
+        assignments_only=assignments_only, axis_name=axis,
     )
     dtype = seg.acoustic_model.X.dtype
 

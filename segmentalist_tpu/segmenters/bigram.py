@@ -39,6 +39,7 @@ from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
     assign_rows_from_segments,
     cand_tables,
+    decollide_new_components,
     flat_contrib,
     gather_block_segments,
     leave_out_moments_T,
@@ -68,7 +69,8 @@ class BigramAcousticWordseg:
                  min_duration=0, p_boundary_init=0.5, beta_sent_boundary=2.0,
                  lms=1.0, wip=0.0, fb_type="bigram",
                  init_am_assignments="rand", time_power_term=1.0,
-                 batch_size: Optional[int] = None, seed: int = 0):
+                 batch_size: Optional[int] = None, seed: int = 0,
+                 decollide_new: bool = True):
         logger.info("Initializing")
         assert seed_assignments_dict is None or seed_boundaries_dict is not None
 
@@ -78,6 +80,7 @@ class BigramAcousticWordseg:
         self.wip = float(wip)
         self.lms = float(lms)
         self.time_power_term = float(time_power_term)
+        self.decollide_new = bool(decollide_new)
         self.set_fb_type(fb_type)
 
         embeddings, vec_ids, ids_to_utterance_labels = process_embeddings(
@@ -807,7 +810,8 @@ class BigramAcousticWordseg:
         return log_prob_z
 
     def _make_block_step(self, B: int, pallas: bool, reduce_fn,
-                         assignments_only: bool, assign_table: bool = False):
+                         assignments_only: bool, assign_table: bool = False,
+                         axis_name=None):
         """Per-block bigram Gibbs update, shared by the single-device sweep
         (``reduce_fn`` = identity) and the shard_map sweep (``reduce_fn`` =
         ``psum``); see ``UnigramAcousticWordseg._make_block_step`` (incl.
@@ -830,6 +834,7 @@ class BigramAcousticWordseg:
         wip = self.wip
         beta_sb = float(self.beta_sent_boundary)
         n_sentences = self.utterances.D - 1
+        decollide = getattr(self, "decollide_new", True)
         lam, a, b, K_lm = (self.lm.intrp_lambda, self.lm.a, self.lm.b, self.lm.K)
         assert K_lm == K_max
         cov_type = am.covariance_type
@@ -1221,6 +1226,17 @@ class BigramAcousticWordseg:
                     )
                 )(lo, params_b, uni_lo, pj, pi, new_embeds, Xe_new, lpe_new,
                   gumbel)
+
+            # Cross-utterance new-component decollision before any merge
+            # (see common.decollide_new_components and the unigram driver).
+            # Valid for the bigram LM too: a slot with zero global acoustic
+            # count appears in no transcript, so its leave-out LM counts are
+            # zero and every such slot enters the chain's conditional with
+            # an identical smoothed weight -- exchangeable, relabel-safe.
+            if decollide and B > 1:
+                new_ks = decollide_new_components(
+                    new_ks, (new_embeds >= 0) & valid[:, None], lo_counts,
+                    stats.counts, axis_name=axis_name)
 
             # Merge acoustic stats / LM counts / assignments / boundaries.
             # All deltas are additive, so under shard_map ``reduce_fn`` psums

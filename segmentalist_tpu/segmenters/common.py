@@ -439,6 +439,109 @@ def merge_sweep_assignments(assignments: Array, updates, reduce_fn) -> Array:
         new_e.reshape(-1, S), ks.reshape(-1, S), reduce_fn)
 
 
+def decollide_new_components(new_ks: Array, new_mask: Array,
+                             lo_counts: Array, counts0: Array,
+                             axis_name=None) -> Array:
+    """Relabel cross-utterance collisions on NEWLY-CREATED components onto
+    fresh empty slots.
+
+    Blocked-mode semantics: every utterance in a block conditions on the
+    block-start state; its chain treats any slot with leave-out count 0 as
+    "a new component".  Because all chains draw from the SAME pool of empty
+    slot labels, independent new-component choices collide at merge time
+    and unrelated segments from different utterances get silently fused
+    into one component.  At bench-like scale this is a merge trap: with
+    fixed (non-adaptive) covariance the spurious fusions cannot dissolve
+    and the sampler plateaus far from the sequential chain's posterior
+    (B=125 on a 200-utterance corpus: log_marg -210k vs -20k, active
+    components DECREASING; ``benchmarks/blocked_equivalence.py``).  The
+    reference's sampler is purely sequential (one utterance at a time,
+    ``unigram_acoustic_wordseg.py:449-455``) so it never faces this.
+
+    Empty components are exchangeable — every empty slot enters the
+    conditional with identical weight alpha/K (``fbgmm.py:256-286``) — so
+    relabeling a chain's new-component group onto a different empty slot
+    leaves its per-utterance conditional unchanged.  This post-pass picks,
+    per slot k, at most ONE owner and moves every other creator's group to
+    its own fresh slot (globally empty at block start and untouched this
+    block), restoring the blocked conditioning's actual semantics: distinct
+    "new" decisions produce distinct components.  Deterministic, O(B*K),
+    no kernel changes — chains themselves are untouched.
+
+    A slot k is "created" by row b when the row assigned segments to k and
+    its leave-out count was 0.  Only one row can zero a non-empty slot (its
+    own old segments were all of k), so creators of occupied slots never
+    collide with each other — but they do collide with rows that JOINED the
+    old k deliberately; in that case the creator moves and the joiners keep
+    k.  If fresh slots run out (model near saturation, where the reference
+    would also reuse components), the remaining groups stay merged.
+
+    ``new_mask`` marks live (segment, row) entries; dead/padded rows must be
+    masked out.  Under ``shard_map`` pass ``axis_name``: rows are sharded,
+    and collisions across shards are resolved from an all-gathered [B, K]
+    touch-code matrix (int8 — ~B*K bytes per block over ICI), every shard
+    computing the identical global remap and slicing its own rows.
+    """
+    # Everything below is gathers-free by design: a naive [B*K]-element
+    # table gather for the relocation targets measured 4.8 ms/sweep at
+    # flagship scale (element-rate bound -- the standing tiny-gather trap,
+    # PERFORMANCE.md); instead the per-(row, slot) tables stay [B, K]
+    # VPU-elementwise + short cumsums, and the per-SEGMENT lookups ride
+    # exact one-hot einsums (HIGHEST: integer values up to B*K must not
+    # go through bf16 MXU passes).
+    B_loc, K = new_ks.shape[0], lo_counts.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    mask = new_mask & (new_ks >= 0)
+    touch = (new_ks[..., None] == jnp.arange(K)) & mask[..., None]
+    touched = jnp.any(touch, axis=1)                       # [B_loc, K]
+    creator = touched & (lo_counts == 0)
+    code = touched.astype(jnp.int8) + creator.astype(jnp.int8)
+    if axis_name is not None:
+        code_g = jax.lax.all_gather(code, axis_name)       # [n, B_loc, K]
+        code_g = code_g.reshape(-1, K)
+        row0 = jax.lax.axis_index(axis_name) * B_loc
+    else:
+        code_g = code
+        row0 = 0
+    touched_g, creator_g = code_g >= 1, code_g == 2
+    joiner_any = jnp.any(touched_g & ~creator_g, axis=0)   # [K]
+    crank = jnp.cumsum(creator_g, axis=0) - creator_g      # rank among creators
+    keep = creator_g & (crank == 0) & ~joiner_any[None, :]
+    need = creator_g & ~keep                               # relocate these
+    fresh = (counts0 == 0) & ~jnp.any(touched_g, axis=0)   # [K]
+    n_fresh = jnp.sum(fresh)
+    # Global relocation rank: k-major (per-slot exclusive offsets + rank
+    # among the slot's own needs) -- any fixed deterministic order works,
+    # and this one needs only a [K] cumsum and the [B, K] column cumsum.
+    offs = jnp.cumsum(need.sum(axis=0)) - need.sum(axis=0)     # [K]
+    # Rank among the slot's needs = rank among its creators minus one when
+    # the rank-0 creator kept the slot -- no second [B, K] column cumsum
+    # (each costs ~0.08 ms/sweep as a reduce-window at flagship scale).
+    kept_any = jnp.any(keep, axis=0)                           # [K]
+    nrank = crank - kept_any[None, :].astype(crank.dtype)
+    need_idx = offs[None, :] + nrank                           # [B, K]
+    # j-th fresh slot id via one-hot contraction (argsort-free).
+    fresh_rank = jnp.cumsum(fresh) - fresh                     # [K]
+    oh_fresh = (fresh_rank[None, :] == jnp.arange(K)[:, None]) & fresh[None]
+    fresh_order = jnp.einsum("jk,k->j", oh_fresh.astype(jnp.float32),
+                             jnp.arange(K, dtype=jnp.float32), precision=hi)
+    if axis_name is not None:
+        sl = lambda t: jax.lax.dynamic_slice_in_dim(t, row0, B_loc, axis=0)
+        need, need_idx = sl(need), sl(need_idx)
+    # Per-segment lookups from the [B, K] tables: exact one-hot einsums on
+    # the already-built [B, S, K] touch mask (no element gathers).
+    tf = touch.astype(jnp.float32)
+    need_bs = jnp.einsum("bsk,bk->bs", tf, need.astype(jnp.float32),
+                         precision=hi) > 0.5
+    idx_bs = jnp.einsum("bsk,bk->bs", tf, need_idx.astype(jnp.float32),
+                        precision=hi)
+    idx_i = jnp.minimum(idx_bs, float(K - 1)).astype(jnp.int32)
+    oh_idx = (idx_i[..., None] == jnp.arange(K)).astype(jnp.float32)
+    tgt_bs = jnp.einsum("bsk,k->bs", oh_idx, fresh_order, precision=hi)
+    ok = need_bs & (idx_bs < n_fresh.astype(idx_bs.dtype)) & mask
+    return jnp.where(ok, tgt_bs.astype(new_ks.dtype), new_ks)
+
+
 def masked_candidate_scores(log_margs: Array, seg_ids_blk: Array,
                             seg_durs_blk: Array, time_power_term,
                             wip) -> Array:

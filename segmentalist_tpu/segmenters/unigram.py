@@ -36,6 +36,7 @@ from ..ops.stats import add_item, canonicalize_new_component
 from .common import (
     assign_rows_from_segments,
     cand_tables,
+    decollide_new_components,
     flat_contrib,
     gather_block_segments,
     leave_out_moments_T,
@@ -174,7 +175,8 @@ class UnigramAcousticWordseg:
                  min_duration=0, p_boundary_init=0.5, beta_sent_boundary=2.0,
                  lms=1.0, wip=0.0, fb_type="standard",
                  init_am_assignments="rand", time_power_term=1.0,
-                 batch_size: Optional[int] = None, seed: int = 0):
+                 batch_size: Optional[int] = None, seed: int = 0,
+                 decollide_new: bool = True):
         logger.info("Initializing")
         assert seed_assignments_dict is None or seed_boundaries_dict is not None
 
@@ -183,6 +185,7 @@ class UnigramAcousticWordseg:
         self.beta_sent_boundary = beta_sent_boundary
         self.wip = float(wip)
         self.time_power_term = float(time_power_term)
+        self.decollide_new = bool(decollide_new)
         self.set_fb_type(fb_type)
 
         embeddings, vec_ids, ids_to_utterance_labels = process_embeddings(
@@ -607,7 +610,7 @@ class UnigramAcousticWordseg:
         return self._sweep_fn
 
     def _make_block_step(self, B: int, pallas: bool, reduce_fn,
-                         assign_table: bool = False):
+                         assign_table: bool = False, axis_name=None):
         """Build the per-block Gibbs update, shared by the single-device sweep
         (``reduce_fn`` = identity) and the explicit-collective shard_map sweep
         (``reduce_fn`` = ``psum`` over the mesh axis; ``B`` is then the
@@ -655,6 +658,7 @@ class UnigramAcousticWordseg:
         viterbi_assign = self.fb_type == "viterbi"
         beta_sb = float(self.beta_sent_boundary)
         n_sentences = self.utterances.D - 1
+        decollide = getattr(self, "decollide_new", True)
 
         def dp_slice(a):
             if W_store >= W_dp:
@@ -1004,6 +1008,19 @@ class UnigramAcousticWordseg:
                 new_ks = run_chains(lo, params_b, lo_counts, sum_xT, sum_sqT,
                                     new_embeds, Xe_new, lpe_new, gumbel,
                                     assign_temp)
+
+            # 4b. Cross-utterance new-component decollision: independent
+            # chains drawing "a new component" from the SAME empty-slot pool
+            # collide at merge time, fusing unrelated segments (a merge trap
+            # for non-adaptive covariances; benchmarks/blocked_equivalence).
+            # Relabel every collided creator group onto its own fresh empty
+            # slot -- exchangeable, so per-utterance conditionals unchanged
+            # (see common.decollide_new_components).  B=1 is the reference
+            # chain, where the remap is the identity by construction.
+            if decollide and B > 1:
+                new_ks = decollide_new_components(
+                    new_ks, (new_embeds >= 0) & valid[:, None], lo_counts,
+                    stats.counts, axis_name=axis_name)
 
             # 5. Merge block updates into the global state (flat scatters on
             # both sides).  Under shard_map the deltas / assignment updates
