@@ -206,13 +206,19 @@ def log_post_pred_batch(params: PredParams, X: jnp.ndarray,
     cancellation in the expanded Mahalanobis form and is large enough to
     flip assignments.  The default is fine for the logsumexp'ed candidate
     marginals."""
-    # x'Ax as ONE [M, D^2] x [D^2, K] matmul on the MXU (outer-product
-    # feature expansion), instead of a double-contraction einsum.
+    # x'Ax as ONE symmetric-packed [M, D(D+1)/2] x [D(D+1)/2, K] matmul on
+    # the MXU (A symmetric; off-diagonal lanes doubled -- the same packing
+    # as segmenters.fullcov.fullcov_score_inputs / the Pallas scoring
+    # kernel's tables), instead of the D^2-lane outer-product expansion:
+    # 1.86x fewer MACs, and XLA lowers the packed form to a clean MXU dot
+    # where the unpacked one fused into a slow loop (round-5 profile:
+    # 0.54 -> ~0.2 ms/sweep for the full-NIW chain base table).
     M, D_ = X.shape
-    K_ = params.inv_covar.shape[0]
-    xx = (X[:, :, None] * X[:, None, :]).reshape(M, D_ * D_)
-    xAx = jnp.matmul(xx, params.inv_covar.reshape(K_, D_ * D_).T,
-                     precision=precision)
+    iu0, iu1 = jnp.triu_indices(D_)
+    dbl = jnp.where(iu0 == iu1, 1.0, 2.0).astype(X.dtype)
+    xx = X[:, iu0] * X[:, iu1]                       # [M, D(D+1)/2]
+    A2 = params.inv_covar[:, iu0, iu1] * dbl         # [K, D(D+1)/2]
+    xAx = jnp.matmul(xx, A2.T, precision=precision)
     Amu = jnp.einsum("kde,ke->kd", params.inv_covar, params.mu,
                      precision=precision)  # [K, D]
     xAmu = jnp.matmul(X, Amu.T, precision=precision)  # [M, K]

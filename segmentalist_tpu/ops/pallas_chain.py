@@ -1388,6 +1388,11 @@ def fullcov_chain_pallas(embeds, Xe, log_prior_e, gumbel, base_scores,
     # old 3*T*K_pad estimate triple-counted OH and pinned B_tile at 8; the
     # chain is sequential-program-latency bound, so halving the program
     # count by fitting 16 utterances/tile cut the full-NIW sweep ~25%).
+    # cap 16: 24-utterance tiles FIT the budget at benchmark scale (grid
+    # 8 -> 6 programs) but measured SLOWER (4.73 -> 5.74 ms/sweep, round 5)
+    # -- the wider tile's per-step vector work grows faster than the
+    # program count shrinks, so 16 is the measured fixed point, not a
+    # VMEM bound.
     B_tile = _pick_b_tile(
         4.0 * ((2 + bigram) * S * K_pad + T * K_pad
                + T * (DD + D + 3) + 4 * K_pad) * 1.3,

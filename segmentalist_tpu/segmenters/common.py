@@ -27,11 +27,27 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.random import NEG_INF
 from ..ops.stats import SuffStats, item_sq
 
 Array = jnp.ndarray
+
+
+def sym_pack_indices(D: int):
+    """Static index maps for symmetric [D, D] <-> packed D(D+1)/2 layouts:
+    ``(iu0, iu1)`` upper-triangle coordinates, plus the flat [D*D] gather map
+    that unpacks (mirror-aware, a pure copy -- no arithmetic).  Second-moment
+    tensors are symmetric with bitwise-equal triangles (the (d, e) and (e, d)
+    sums contract identical commuted products in the same order), so packing
+    their contractions to D(D+1)/2 lanes skips the redundant lower triangle:
+    1.86x fewer MACs at D=13, exactly the same values."""
+    iu0, iu1 = np.triu_indices(D)
+    unpack = np.zeros((D, D), np.int32)
+    unpack[iu0, iu1] = np.arange(iu0.size)
+    unpack[iu1, iu0] = np.arange(iu0.size)
+    return iu0, iu1, unpack.reshape(-1)
 
 
 # ---------------------------------------------------------------------------#
@@ -187,9 +203,14 @@ def utterance_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
         jnp.einsum("bsd,bsk->bdk", x, oh,
                    precision=jax.lax.Precision.HIGHEST), 1, 2)
     if full_cov:
-        sq = item_sq(x, True)  # [B, S, D, D]
-        sum_sq = jnp.einsum("bsk,bsde->bkde", oh, sq,
+        # Symmetric-packed second moments (see sym_pack_indices).
+        D = x.shape[-1]
+        iu0, iu1, unpack = sym_pack_indices(D)
+        sqp = x[..., iu0] * x[..., iu1]  # [B, S, D(D+1)/2]
+        packed = jnp.einsum("bsk,bsf->bkf", oh, sqp,
                             precision=jax.lax.Precision.HIGHEST)
+        sum_sq = packed[..., unpack].reshape(
+            packed.shape[:2] + (D, D))
     else:
         sum_sq = jnp.swapaxes(
             jnp.einsum("bsd,bsk->bdk", x * x, oh,
@@ -269,11 +290,20 @@ def flat_contrib(X: Array, embeds: Array, ks: Array, K_max: int,
           ).astype(x.dtype)  # [B*S, K]; pad rows (seg == K_max) are all-zero
     counts = jnp.sum(oh, axis=0).astype(jnp.int32)
     sum_x = jnp.matmul(oh.T, x, precision=jax.lax.Precision.HIGHEST)
-    sq = item_sq(x, full_cov)
-    sum_sq = jnp.matmul(
-        oh.T, sq.reshape(sq.shape[0], -1),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape((K_max,) + sq.shape[1:])
+    if full_cov:
+        # Symmetric-packed second moments (see sym_pack_indices).
+        D = x.shape[-1]
+        iu0, iu1, unpack = sym_pack_indices(D)
+        sqp = x[:, iu0] * x[:, iu1]  # [B*S, D(D+1)/2]
+        packed = jnp.matmul(oh.T, sqp,
+                            precision=jax.lax.Precision.HIGHEST)
+        sum_sq = packed[:, unpack].reshape(K_max, D, D)
+    else:
+        sq = item_sq(x, full_cov)
+        sum_sq = jnp.matmul(
+            oh.T, sq.reshape(sq.shape[0], -1),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape((K_max,) + sq.shape[1:])
     return SuffStats(counts=counts, sum_x=sum_x, sum_sq=sum_sq)
 
 

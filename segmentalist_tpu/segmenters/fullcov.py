@@ -48,6 +48,7 @@ from ..ops.pallas_chain import _lgamma_stirling
 from ..models.fbgmm import log_weights
 from ..ops.random import NEG_INF
 from ..ops.stats import canonicalize_new_component
+from .common import sym_pack_indices
 
 Array = jnp.ndarray
 
@@ -129,16 +130,16 @@ def touched_leave_out(prior, stats, X, old_embeds, old_ks,
     contrib_counts = jnp.sum(same, axis=-1).astype(stats.counts.dtype)
     contrib_sum_x = jnp.einsum("bjs,bsd->bjd", same_f, x_old,
                                precision=_HI)
-    # Two-step form of einsum("bjs,bsd,bse->bjde"): the 3-operand einsum
-    # lowers poorly on TPU (~1 ms/block); outer-product + batched matmul is
-    # the same exact contraction.
+    # Symmetric-packed second moments (common.sym_pack_indices): contract
+    # and gather D(D+1)/2 unique-pair lanes instead of D^2, unpack the
+    # leave-out difference once by a static mirror gather.  Two-step form of
+    # einsum("bjs,bsd,bse->bjde"): the 3-operand einsum lowers poorly on TPU
+    # (~1 ms/block); pair products + batched matmul is the same contraction.
     D = X.shape[-1]
-    xx = (x_old[..., :, None] * x_old[..., None, :]).reshape(
-        x_old.shape[:2] + (D * D,)
-    )
-    contrib_sum_sq = jnp.einsum("bjs,bsf->bjf", same_f, xx,
-                                precision=_HI).reshape(
-        same_f.shape[:2] + (D, D))
+    iu0, iu1, unpack = sym_pack_indices(D)
+    xxp = x_old[..., iu0] * x_old[..., iu1]  # [B, S, D(D+1)/2]
+    contrib_sum_sq_p = jnp.einsum("bjs,bsf->bjf", same_f, xxp,
+                                  precision=_HI)
 
     # Row lookups of the [K, .] statistic tables as one-hot MXU matmuls:
     # a [B*S]-indexed row gather costs ~1 ms/block on TPU.  Exact at
@@ -147,13 +148,14 @@ def touched_leave_out(prior, stats, X, old_embeds, old_ks,
           == jnp.arange(stats.counts.shape[0])[None, :]).astype(dtype)
     g_sum_x = jnp.matmul(oh, stats.sum_x, precision=_HI).reshape(
         B, S, D)
-    g_sum_sq = jnp.matmul(
-        oh, stats.sum_sq.reshape(-1, D * D), precision=_HI
-    ).reshape(B, S, D, D)
+    g_sum_sq_p = jnp.matmul(
+        oh, stats.sum_sq[:, iu0, iu1], precision=_HI
+    ).reshape(B, S, -1)
 
     lo_counts = stats.counts[ks_safe] - contrib_counts
     lo_sum_x = g_sum_x - contrib_sum_x
-    lo_sum_sq = g_sum_sq - contrib_sum_sq
+    lo_sum_sq = (g_sum_sq_p - contrib_sum_sq_p)[..., unpack].reshape(
+        B, S, D, D)
 
     m_n, covar, v = _derive_covar(prior, lo_counts, lo_sum_x, lo_sum_sq)
     inv, logdet = _chol_inv_logdet(covar)
