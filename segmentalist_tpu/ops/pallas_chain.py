@@ -1064,9 +1064,15 @@ def bigram_diag_chain(embeds, Xe, log_prior_e, gumbel, counts, sum_x, sum_sq,
     D = Xe.shape[-1]
     D_pad = _round_up(max(D, 8), 8)
     K_pad = _round_up(K, 128)
+    # budget 13.5 MB (like the fixedvar kernel): the default 12 MB only
+    # fits 4-utterance tiles once the [K, K] shared LM table (4.2 MB at
+    # K=1000) is charged -- half a vector register of sublanes per step and
+    # a 32-program grid.  8-utterance tiles cost the SAME per step (both
+    # pad to one 8-sublane register) with half the sequential programs.
     B_tile = _pick_b_tile(
         4.0 * (2 * S * K_pad + 9 * D_pad * K_pad + 2 * D_pad * S) * 1.5,
-        8, B, shared_bytes=4.0 * K_pad * K_pad)
+        8, B, shared_bytes=4.0 * K_pad * K_pad,
+        budget=13.5 * 2 ** 20)
     B_pad = _round_up(B, B_tile)
     inv = None
     if B_pad // B_tile > 1:
